@@ -1,0 +1,377 @@
+"""Albedo-corrected reweighted-L1 matched filter (mag1c) — TPU-native.
+
+Re-design of the reference matched filter (reference math:
+/root/reference/starcop/models/mag1c.py:176-348, itself derived from
+markusfoote/mag1c) for JAX/XLA on TPU:
+
+  * **Batched, uniform shapes.** The reference processes ragged per-CCD-column
+    pixel groups one at a time on a single torch device. Here every group is
+    padded to a uniform pixel count and a 0/1 ``weights`` vector marks valid
+    pixels; all statistics (mean, covariance, albedo) are weight-masked. The
+    whole batch of column groups then runs as ONE compiled program — batched
+    matmuls land on the MXU, elementwise work fuses into them, and the batch
+    axis is the natural ``shard_map`` axis across a device mesh (column groups
+    are statistically independent; no collectives needed).
+  * **Static shapes, compiler-friendly control flow.** The 30 reweighting
+    iterations are a ``lax.fori_loop`` with a fixed carry; nothing is
+    data-dependent, so XLA traces and tiles once.
+  * **Precision.** The reference runs float64 on CPU. TPU f64 is emulated, so
+    the default here is float32 with mean-pre-centering: radiance is centered
+    by its (weighted) per-group mean once up front, which keeps covariance
+    accumulation well-conditioned in f32. ``compute_dtype`` can be set to
+    float64 (requires ``jax.config.update('jax_enable_x64', True)``) for
+    bit-accurate parity runs on CPU.
+
+Semantics parity notes (validated by tests/test_mag1c.py against a float64
+numpy oracle):
+  * covariance normalizer is the number of *valid* pixels (the reference's
+    production paths pass only valid pixels, so N == number of valid pixels);
+  * covariance shrinkage ``C <- (1-alpha) C + alpha diag(C)``;
+  * albedo factor ``R = (x . mu) / (mu . mu)`` computed once and reused across
+    iterations; ``normalizer`` clamped to >= 1 inside the iteration loop only;
+  * sparsity regularizer ``1 / (R (mf + EPSILON))``;
+  * non-negativity ReLU each iteration; final scaling by 1e5.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NODATA = -9999.0
+SCALING = 1e5
+EPSILON = 1e-9
+
+
+def _weighted_stats_dtype(x, weights):
+    if weights is None:
+        w = jnp.ones(x.shape[:2], dtype=x.dtype)
+    else:
+        w = weights.astype(x.dtype)
+    n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
+    return w, n
+
+
+def _weighted_mean(x: jax.Array, w: jax.Array, n: jax.Array) -> jax.Array:
+    """Weighted mean over the pixel axis. x: (B,P,S), w: (B,P), n: (B,1) -> (B,1,S)."""
+    return jnp.einsum("bp,bps->bs", w, x)[:, None, :] / n[..., None]
+
+
+def _weighted_cov(xm: jax.Array, w: jax.Array, n: jax.Array) -> jax.Array:
+    """Weighted second moment of centered data: (B,P,S) -> (B,S,S).
+
+    C = sum_p w_p xm_p xm_p^T / n. The matmul is the MXU hot op; weights fold
+    into one operand so XLA fuses the masking into the contraction.
+    """
+    xw = xm * w[..., None]
+    c = jnp.einsum("bps,bpt->bst", xw, xm, preferred_element_type=xm.dtype)
+    return c / n[..., None]
+
+
+def _shrink_diag(c: jax.Array, alpha: float) -> jax.Array:
+    """C <- (1 - alpha) * C + alpha * diag(C)  (diagonal shrinkage)."""
+    if alpha == 0.0:
+        return c
+    diag = jnp.zeros_like(c) + jnp.eye(c.shape[-1], dtype=c.dtype) * jnp.diagonal(
+        c, axis1=-2, axis2=-1
+    )[..., None, :].swapaxes(-1, -2)
+    return c + alpha * (diag - c)
+
+
+def _cho_solve_vec(c: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve C z = b for SPD C. c: (B,S,S), b: (B,S) -> (B,S)."""
+    chol = jnp.linalg.cholesky(c)
+    y = jax.lax.linalg.triangular_solve(
+        chol, b[..., None], left_side=True, lower=True, transpose_a=False
+    )
+    z = jax.lax.linalg.triangular_solve(
+        chol, y, left_side=True, lower=True, transpose_a=True
+    )
+    return z[..., 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha",
+        "zero_override",
+        "albedo_override",
+        "apply_scaling",
+    ),
+)
+def rmf(
+    x: jax.Array,
+    template: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    alpha: float = 0.0,
+    zero_override: bool = False,
+    albedo_override: bool = False,
+    apply_scaling: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-pass reweighted matched filter.
+
+    Args:
+        x: (B, P, S) radiance — B independent column groups, P pixels, S bands.
+        template: (S,) target unit-absorption spectrum.
+        weights: optional (B, P) 0/1 validity mask; statistics are computed
+            over valid pixels only. Padding rows produce garbage mf values that
+            callers must mask out (scatter by the same weights).
+        alpha: diagonal covariance shrinkage.
+        zero_override: skip the non-negativity ReLU.
+        albedo_override: skip the albedo correction (R = 1).
+        apply_scaling: multiply the result by 1e5 (ppm x m units).
+
+    Returns:
+        (mf, R): matched-filter score (B, P, 1) and albedo factor (B, P, 1).
+    """
+    w, n = _weighted_stats_dtype(x, weights)
+    template = template.astype(x.dtype)
+
+    mu = _weighted_mean(x, w, n)  # (B, 1, S)
+    target = template[None, None, :] * mu  # (B, 1, S)
+    x_minus_mu = x - mu
+
+    c = _weighted_cov(x_minus_mu, w, n)
+    c = _shrink_diag(c, alpha)
+    cit = _cho_solve_vec(c, target[:, 0, :])[:, :, None]  # (B, S, 1)
+    normalizer = jnp.einsum("bs,bso->bo", target[:, 0, :], cit)[:, None, :]  # (B,1,1)
+
+    if albedo_override:
+        r = jnp.ones(x.shape[:2] + (1,), dtype=x.dtype)
+    else:
+        r = jnp.einsum("bps,bs->bp", x, mu[:, 0, :])[..., None] / jnp.einsum(
+            "bs,bs->b", mu[:, 0, :], mu[:, 0, :]
+        )[:, None, None]
+
+    mf = jnp.einsum("bps,bso->bpo", x_minus_mu, cit) / (r * normalizer)
+    if not zero_override:
+        mf = jax.nn.relu(mf)
+    if apply_scaling:
+        mf = mf * SCALING
+    return mf, r
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_iter",
+        "albedo_override",
+        "zero_override",
+        "sparse_override",
+        "covariance_update_scaling",
+        "alpha",
+    ),
+)
+def acrwl1mf(
+    x: jax.Array,
+    template: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    num_iter: int = 30,
+    albedo_override: bool = False,
+    zero_override: bool = False,
+    sparse_override: bool = False,
+    covariance_update_scaling: float = 1.0,
+    alpha: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Albedo-corrected reweighted-L1 matched filter (iterative).
+
+    Iteratively removes the detected signal from the background statistics and
+    re-solves the matched filter with an L1 reweighting regularizer. See module
+    docstring for TPU-design and parity notes.
+
+    Args:
+        x: (B, P, S) radiance (uniform P per group; pad + mask via ``weights``).
+        template: (S,) target spectrum.
+        weights: optional (B, P) 0/1 validity mask.
+        num_iter: reweighting iterations (reference default 30).
+        covariance_update_scaling: scale of the signal-removal term.
+        alpha: diagonal covariance shrinkage (1e-4 for EMIT).
+
+    Returns:
+        (mf, R): (B, P, 1) matched filter in ppm x m (scaled 1e5), albedo (B, P, 1).
+    """
+    w, n = _weighted_stats_dtype(x, weights)
+    template = template.astype(x.dtype)
+    tpl = template[None, None, :]  # (1, 1, S)
+    w3 = w[..., None]
+
+    mf, r = rmf(
+        x,
+        template,
+        weights,
+        alpha=alpha,
+        zero_override=zero_override,
+        albedo_override=albedo_override,
+        apply_scaling=False,
+    )
+    # Invalid (weight-0) pixels can carry R == 0 (e.g. zero-filled padding),
+    # which would inject inf/NaN through the 1/R regularizer. Their values are
+    # masked out of every statistic and of the outputs, so pin R = 1 there.
+    if weights is not None:
+        r = jnp.where(w3 > 0, r, 1.0)
+        mf = jnp.where(w3 > 0, mf, 0.0)
+
+    target0 = tpl * _weighted_mean(x, w, n)  # (B, 1, S)
+
+    def body(_, carry):
+        mf, target = carry
+        # Remove current detections from the background estimate.
+        modx = x - covariance_update_scaling * r * mf * target
+        mu = _weighted_mean(modx, w, n)
+        new_target = tpl * mu
+        modx_minus_mu = modx - mu
+        x_minus_mu = x - mu
+
+        c = _weighted_cov(modx_minus_mu, w, n)
+        c = _shrink_diag(c, alpha)
+        cit = _cho_solve_vec(c, new_target[:, 0, :])[:, :, None]  # (B, S, 1)
+
+        if sparse_override:
+            regularizer = jnp.zeros_like(mf)
+        else:
+            # Albedo-scaled L1 reweighting: weaker regularization over
+            # high-signal (bright) pixels.
+            regularizer = 1.0 / (r * (mf + EPSILON))
+
+        normalizer = jnp.einsum("bs,bso->bo", new_target[:, 0, :], cit)[:, None, :]
+        normalizer = jnp.maximum(normalizer, 1.0)
+        new_mf = (jnp.einsum("bps,bso->bpo", x_minus_mu, cit) - regularizer) / (
+            r * normalizer
+        )
+        if not zero_override:
+            new_mf = jax.nn.relu(new_mf)
+        # Keep padded pixels at zero so they never re-enter the statistics
+        # through the regularizer/covariance-update pathway with NaN/Inf.
+        new_mf = new_mf * w3
+        return new_mf, new_target
+
+    mf = mf * w3
+    mf, _ = jax.lax.fori_loop(0, num_iter, body, (mf, target0))
+    return mf * SCALING, r
+
+
+def mag1c_column_blocks(
+    scene: jax.Array,
+    template: jax.Array,
+    valid_mask: Optional[jax.Array] = None,
+    *,
+    column_step: int = 2,
+    num_iter: int = 30,
+    alpha: float = 1e-4,
+    fill_value: float = NODATA,
+    compute_dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the matched filter over a full scene in uniform column blocks.
+
+    TPU-native equivalent of the reference per-column drivers
+    (mag1c_emit.py:58-84 ``column_step`` blocks; mag1c.py:117-174 column
+    groups): the scene's width axis is split into ``column_step``-wide blocks,
+    every block is padded to the same pixel count, and all blocks run as one
+    batched program. Per-CCD-column statistics are a *correctness* requirement
+    for pushbroom sensors, which is why the batch axis is columns, not tiles.
+
+    Args:
+        scene: (H, W, S) radiance cube.
+        template: (S,) target spectrum.
+        valid_mask: optional (H, W) boolean; invalid pixels are excluded from
+            statistics and set to ``fill_value`` in the outputs.
+        column_step: width of each column block (None/W => whole image).
+        num_iter, alpha: matched-filter parameters.
+
+    Returns:
+        (mf, albedo): (H, W) arrays with ``fill_value`` at invalid pixels.
+    """
+    h, w_dim, s = scene.shape
+    step = int(column_step) if column_step else w_dim
+    nb = -(-w_dim // step)  # ceil div
+    pad_w = nb * step - w_dim
+
+    scene = jnp.asarray(scene, dtype=compute_dtype)
+    if valid_mask is None:
+        valid = jnp.ones((h, w_dim), dtype=bool)
+    else:
+        valid = jnp.asarray(valid_mask, dtype=bool)
+
+    if pad_w:
+        scene = jnp.pad(scene, ((0, 0), (0, pad_w), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_w)))
+
+    # (H, nb, step, S) -> (nb, H * step, S): one batch entry per column block.
+    xb = scene.reshape(h, nb, step, s).transpose(1, 0, 2, 3).reshape(nb, h * step, s)
+    wb = valid.reshape(h, nb, step).transpose(1, 0, 2).reshape(nb, h * step)
+
+    # Zero out invalid pixels so padded data cannot produce NaNs upstream of
+    # the weighting (e.g. fill values of -9999).
+    xb = xb * wb[..., None].astype(xb.dtype)
+
+    mf, albedo = acrwl1mf(
+        xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
+        num_iter=num_iter, alpha=alpha,
+    )
+
+    def unblock(v):
+        v = v[..., 0].reshape(nb, h, step).transpose(1, 0, 2).reshape(h, nb * step)
+        return v[:, :w_dim]
+
+    mf2 = jnp.where(valid[:, :w_dim], unblock(mf), fill_value)
+    albedo2 = jnp.where(valid[:, :w_dim], unblock(albedo), fill_value)
+    return mf2, albedo2
+
+
+def reference_oracle_acrwl1mf(
+    x: np.ndarray,
+    template: np.ndarray,
+    num_iter: int = 30,
+    covariance_update_scaling: float = 1.0,
+    alpha: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Float64 numpy restatement of the reference matched-filter math.
+
+    Used as the golden oracle in tests (and for CPU parity checks). This is an
+    independent implementation of the published algorithm (Foote et al., IEEE
+    TGRS 2020), not a port of any framework code.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    template = np.asarray(template, dtype=np.float64)
+    b, p, s = x.shape
+    tpl = template[None, None, :]
+
+    def stats(v):
+        mu = v.mean(axis=1, keepdims=True)
+        vm = v - mu
+        c = np.einsum("bps,bpt->bst", vm, vm) / p
+        c = (1 - alpha) * c + alpha * np.eye(s)[None] * np.diagonal(c, axis1=1, axis2=2)[:, None, :]
+        return mu, c
+
+    mu, c = stats(x)
+    target = tpl * mu
+    x_minus_mu = x - mu
+    cit = np.linalg.solve(c, target[:, 0, :, None])
+    normalizer = np.einsum("bs,bso->bo", target[:, 0, :], cit)[:, None, :]
+    r = np.einsum("bps,bs->bp", x, mu[:, 0, :])[..., None] / np.einsum(
+        "bs,bs->b", mu[:, 0, :], mu[:, 0, :]
+    )[:, None, None]
+    mf = np.maximum(np.einsum("bps,bso->bpo", x_minus_mu, cit) / (r * normalizer), 0.0)
+
+    target = tpl * x.mean(axis=1, keepdims=True)
+    for _ in range(num_iter):
+        modx = x - covariance_update_scaling * r * mf * target
+        mu, c = stats(modx)
+        target = tpl * mu
+        x_minus_mu = x - mu
+        cit = np.linalg.solve(c, target[:, 0, :, None])
+        regularizer = 1.0 / (r * (mf + EPSILON))
+        normalizer = np.maximum(
+            np.einsum("bs,bso->bo", target[:, 0, :], cit)[:, None, :], 1.0
+        )
+        mf = np.maximum(
+            (np.einsum("bps,bso->bpo", x_minus_mu, cit) - regularizer) / (r * normalizer),
+            0.0,
+        )
+    return mf * SCALING, r

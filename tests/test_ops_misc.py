@@ -1,0 +1,236 @@
+"""Tests for template generation, ratio products, morphology, metrics,
+normalizer, and config — golden values derived from the reference math,
+with torch/sklearn/numpy oracles where useful."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starcop_tpu.config import Config
+from starcop_tpu.data.normalizer import BAND_NORMALIZATION, DataNormalizer
+from starcop_tpu.eval import metrics as sm
+from starcop_tpu.ops import ch4_template, morphology, ratios
+
+
+# ----------------------------------------------------------------- template
+def test_lut_loads():
+    wave, rads, conc = ch4_template.load_ch4_lut()
+    assert wave.shape == (31800,)
+    assert rads.shape == (7, 31800)
+    np.testing.assert_array_equal(conc, [0, 500, 1000, 2000, 4000, 8000, 16000])
+    assert 1399 < wave[0] < 1400 and 2522 < wave[-1] < 2523
+
+
+def test_template_generation_properties():
+    # AVIRIS-like band set in the SWIR methane window.
+    centers = np.arange(2122.0, 2488.0, 5.0)
+    fwhm = np.full_like(centers, 5.5)
+    target = ch4_template.generate_template_from_bands(centers, fwhm)
+    assert target.shape == (len(centers), 2)
+    np.testing.assert_array_equal(target[:, 0], centers)
+    spectrum = target[:, 1]
+    # Unit absorption spectrum: negative (absorption) almost everywhere in the
+    # 2.3 um methane feature, with meaningful structure.
+    assert (spectrum < 0).mean() > 0.9
+    assert np.std(spectrum) > 0
+    # Slope fit in log space: doubling concentration halves the slope scale
+    # invariance check — regenerating with identical inputs is deterministic.
+    target2 = ch4_template.generate_template_from_bands(centers, fwhm)
+    np.testing.assert_array_equal(target, target2)
+
+
+def test_template_against_manual_lstsq():
+    """Independent recomputation of one band's slope from the LUT."""
+    wave, rads, conc = ch4_template.load_ch4_lut()
+    center, fw = 2300.0, 6.0
+    sigma = fw / (2 * np.sqrt(2 * np.log(2)))
+    resp = np.exp(-((wave - center) ** 2) / (2 * sigma**2))
+    resp = resp / resp.sum()
+    resampled = rads @ resp  # (7,)
+    lograd = np.log(resampled)
+    slope = np.polyfit(conc, lograd, 1)[0]
+    target = ch4_template.generate_template_from_bands([center], [fw])
+    np.testing.assert_allclose(target[0, 1], slope * 1e5, rtol=1e-8)
+
+
+def test_bad_bands_mask():
+    wave = np.array([300, 400, 1000, 1350, 1351, 1419, 1420, 1500, 1801, 1944, 1945, 2485, 2486])
+    mask = ch4_template.get_mask_bad_bands(wave)
+    np.testing.assert_array_equal(
+        mask, [False, True, True, True, False, False, True, True, False, False, True, True, False]
+    )
+
+
+# ------------------------------------------------------------------- ratios
+def test_weight_mag1c():
+    x = jnp.asarray([0.0, 40.0, 200.0, 400.0, 4000.0])
+    np.testing.assert_allclose(np.asarray(ratios.weight_mag1c(x)), [0.1, 0.1, 0.5, 1.0, 1.0])
+
+
+def test_ratio_2c_vs_numpy_oracle(rng):
+    sig = rng.uniform(0.1, 2.0, size=(64, 64))
+    bg = sig * rng.uniform(0.9, 1.1, size=(64, 64))
+    got = np.asarray(ratios.ratio_2c_match_c_from_sums_outlier(jnp.asarray(bg), jnp.asarray(sig)))
+
+    def no_outliers(d, percentile=5):
+        hi = np.percentile(d, 100 - percentile)
+        lo = np.percentile(d, percentile)
+        return d[(d >= lo) & (d <= hi)]
+
+    c = no_outliers(bg.flatten()).sum() / no_outliers(sig.flatten()).sum()
+    want = (c * sig - bg) / (bg + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_ratio_2c_zero_pixels():
+    bg = jnp.zeros((4, 4))
+    sig = jnp.zeros((4, 4))
+    out = np.asarray(ratios.ratio_2c_match_c_from_sums_outlier(bg, sig))
+    np.testing.assert_allclose(out, -0.6, rtol=1e-12)
+
+
+def test_mlr_vs_sklearn(rng):
+    from sklearn.linear_model import LinearRegression
+
+    shape = (32, 32)
+    bands = [rng.uniform(0.2, 1.5, size=shape) for _ in range(5)]
+    coefs = rng.uniform(0.1, 0.5, size=5)
+    target = sum(c * b for c, b in zip(coefs, bands)) + 0.05 + rng.normal(0, 0.01, shape)
+
+    got = np.asarray(
+        ratios.ratio_mlr_local([jnp.asarray(b) for b in bands], jnp.asarray(target), division="residual")
+    )
+
+    x = np.stack([b.flatten() for b in bands], axis=1)
+    lr = LinearRegression().fit(x, target.flatten())
+    recon = lr.predict(x).reshape(shape)
+    want = (target - recon) / (recon + 1e-6)
+    want = np.where(target == 0.0, 0.0, want)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("division", ["simple", "simple_plus", "residual", "c_matched_outliers"])
+def test_mlr_division_modes_finite(rng, division):
+    shape = (16, 16)
+    bands = [rng.uniform(0.2, 1.5, size=shape) for _ in range(5)]
+    target = bands[0] * 0.5 + bands[1] * 0.2 + 0.1
+    out = np.asarray(ratios.ratio_mlr_local([jnp.asarray(b) for b in bands], jnp.asarray(target), division=division))
+    assert out.shape == shape and np.all(np.isfinite(out))
+
+
+# --------------------------------------------------------------- morphology
+def test_binary_opening_removes_specks():
+    img = np.zeros((16, 16), np.float32)
+    img[3, 3] = 1  # isolated speck -> removed by opening
+    img[8:13, 8:13] = 1  # solid block -> survives
+    out = np.asarray(morphology.binary_opening(jnp.asarray(img)))
+    assert out[3, 3] == 0
+    assert out[10, 10] == 1
+    # Block corners are removed by cross-kernel opening? A 5x5 solid block's
+    # corners survive opening with a cross (erosion keeps 3x3 inner plus edges
+    # reachable by the cross from inside).
+    assert out[8:13, 8:13].sum() >= 9
+
+
+def test_erosion_dilation_duality():
+    rng = np.random.default_rng(1)
+    img = (rng.uniform(size=(32, 32)) > 0.5).astype(np.float32)
+    er = np.asarray(morphology.erosion(jnp.asarray(img), border_value=0))
+    dil_inv = ~np.asarray(morphology.dilation(jnp.asarray(1 - img)))
+    np.testing.assert_array_equal(er, dil_inv)
+
+
+def test_morphology_matches_scipy():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(2)
+    img = (rng.uniform(size=(64, 64)) > 0.6).astype(np.float32)
+    cross = morphology.CROSS_KERNEL.astype(bool)
+    got_d = np.asarray(morphology.dilation(jnp.asarray(img)))
+    want_d = ndimage.binary_dilation(img.astype(bool), structure=cross)
+    np.testing.assert_array_equal(got_d, want_d)
+    got_e = np.asarray(morphology.erosion(jnp.asarray(img), border_value=0))
+    want_e = ndimage.binary_erosion(img.astype(bool), structure=cross, border_value=0)
+    np.testing.assert_array_equal(got_e, want_e)
+
+
+# ------------------------------------------------------------------ metrics
+def test_metrics_golden():
+    cm = np.array([[50, 10], [5, 35]])  # [[TN, FP], [FN, TP]]
+    assert np.isclose(float(sm.precision(cm)), 35 / 45)
+    assert np.isclose(float(sm.recall(cm)), 35 / 40)
+    assert np.isclose(float(sm.f1score(cm)), 2 * (35 / 45) * (35 / 40) / (35 / 45 + 35 / 40))
+    assert np.isclose(float(sm.iou(cm)), 35 / 50)
+    assert np.isclose(float(sm.accuracy(cm)), 85 / 100)
+    assert np.isclose(float(sm.FPR(cm)), 10 / 60)
+    assert float(sm.TP(cm)) == 35 and float(sm.TN(cm)) == 50
+    assert float(sm.FP(cm)) == 10 and float(sm.FN(cm)) == 5
+    assert np.isclose(float(sm.balanced_accuracy(cm)), 0.5 * (35 / 40 + 50 / 60))
+
+
+def test_cohen_kappa_matches_sklearn():
+    from sklearn.metrics import cohen_kappa_score
+
+    rng = np.random.default_rng(3)
+    t = (rng.uniform(size=500) > 0.7).astype(int)
+    p = np.where(rng.uniform(size=500) > 0.2, t, 1 - t)
+    cm = np.asarray(sm.confusion_matrix(p, t))
+    assert np.isclose(float(sm.cohen_kappa(cm)), cohen_kappa_score(t, p), atol=1e-6)
+
+
+def test_confusion_matrix_layout():
+    pred = np.array([1, 1, 0, 0, 1])
+    targ = np.array([1, 0, 0, 1, 1])
+    cm = np.asarray(sm.confusion_matrix(pred, targ))
+    np.testing.assert_array_equal(cm, [[1, 1], [1, 2]])
+
+
+# --------------------------------------------------------------- normalizer
+def test_normalizer_constants():
+    assert BAND_NORMALIZATION["mag1c"]["factor"] == 1750.0
+    assert BAND_NORMALIZATION["TOA_AVIRIS_550nm"]["factor"] == 60.0
+    assert BAND_NORMALIZATION["TOA_WV3_SWIR5"]["clip"] == (0.0, 2.0)
+
+
+def test_normalizer_roundtrip():
+    n = DataNormalizer(["mag1c", "TOA_AVIRIS_640nm"])
+    x = jnp.asarray(np.stack([np.full((4, 4), 875.0), np.full((4, 4), 30.0)]))
+    nx = np.asarray(n.normalize_x(x))
+    np.testing.assert_allclose(nx[0], 0.5)
+    np.testing.assert_allclose(nx[1], 0.5)
+    np.testing.assert_allclose(np.asarray(n.denormalize_x(jnp.asarray(nx))), np.asarray(x))
+
+
+def test_normalizer_clipping_and_unknown():
+    with pytest.warns(UserWarning):
+        n = DataNormalizer(["not_a_real_product"])
+    x = jnp.full((1, 2, 2), 100.0)
+    np.testing.assert_allclose(np.asarray(n.normalize_x(x)), 10.0)  # clipped to [-10, 10]
+    n2 = DataNormalizer(["mag1c"])
+    x2 = jnp.full((1, 2, 2), 1e9)
+    np.testing.assert_allclose(np.asarray(n2.normalize_x(x2)), 2.0)  # clip (0, 2)
+
+
+# ------------------------------------------------------------------- config
+def test_config_defaults_and_overrides():
+    cfg = Config()
+    assert cfg.model.pos_weight == 15.0
+    assert cfg.dataset.training_size == (128, 128)
+    cfg.apply_overrides(["model.lr=0.001", "dataset.input_products=[\"mag1c\"]", "model.train=false"])
+    assert cfg.model.lr == 0.001
+    assert cfg.dataset.input_products == ["mag1c"]
+    assert cfg.model.train is False
+    with pytest.raises(AttributeError):
+        cfg.apply_overrides(["nope.nope=1"])
+
+
+def test_config_roundtrip(tmp_path):
+    import yaml
+
+    cfg = Config()
+    cfg.model.lr = 3e-4
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg.to_dict()))
+    cfg2 = Config.from_yaml(str(p))
+    assert cfg2.model.lr == 3e-4
+    assert cfg2.dataset.training_size == (128, 128)
