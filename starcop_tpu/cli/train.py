@@ -1,0 +1,116 @@
+"""Training CLI.
+
+Re-design of the reference training entry point
+(/root/reference/scripts/train.py:23-170) with the same override style:
+
+    python -m starcop_tpu.cli.train dataset.root_folder=/data model.lr=1e-4 ...
+
+Flow: config + overrides -> experiment dir -> datamodule -> model -> Trainer
+(plateau LR, early stopping, best checkpoint) -> final checkpoint ->
+run_validation on test and on non-tiled train, writing results.csv /
+results_agg.json per split.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+    logger = logging.getLogger("starcop_tpu.cli.train")
+    argv = sys.argv[1:] if argv is None else argv
+
+    from starcop_tpu.config import Config
+
+    cfg = Config()
+    yaml_args = [a for a in argv if a.endswith((".yaml", ".yml"))]
+    overrides = [a for a in argv if "=" in a]
+    if yaml_args:
+        cfg = Config.from_yaml(yaml_args[0])
+    cfg.apply_overrides(overrides)
+
+    timestamp = time.strftime("%Y-%m-%d_%H-%M")
+    exp_dir = os.path.join("experiments", cfg.experiment_name, timestamp)
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as fh:
+        fh.write(cfg.to_json())
+    logger.info("experiment dir: %s", exp_dir)
+
+    import jax
+
+    from starcop_tpu.data.datamodule import DataModule
+    from starcop_tpu.eval.validation import run_validation
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.train import Trainer, save_checkpoint
+
+    np.random.seed(cfg.seed)
+
+    root = cfg.dataset.root_folder
+    dm = DataModule(
+        train_csv=os.path.join(root, cfg.dataset.train_csv),
+        test_csv=os.path.join(root, cfg.dataset.test_csv) if cfg.dataset.test_csv else None,
+        input_products=cfg.dataset.input_products,
+        output_products=cfg.dataset.output_products,
+        weight_loss_product=cfg.dataset.weight_loss if cfg.dataset.use_weight_loss else None,
+        training_size=cfg.dataset.training_size[0],
+        training_overlap=cfg.dataset.training_size_overlap[0],
+        batch_size=cfg.dataloader.batch_size,
+        weight_sampling=cfg.dataset.weight_sampling,
+        num_workers=cfg.dataloader.num_workers,
+        seed=cfg.seed,
+    )
+
+    model = SegmentationModel(
+        cfg.dataset.input_products,
+        cfg.dataset.output_products,
+        model_type=cfg.model.model_type,
+        num_classes=cfg.model.num_classes,
+        pos_weight=cfg.model.pos_weight,
+        use_weight_loss=cfg.dataset.use_weight_loss,
+        loss_name=cfg.model.loss,
+    )
+
+    trainer = Trainer(
+        model,
+        learning_rate=cfg.model.lr,
+        lr_decay=cfg.model.lr_decay,
+        lr_patience=cfg.model.lr_patience,
+        early_stopping_patience=cfg.model.early_stopping_patience,
+        max_epochs=cfg.training.max_epochs,
+        val_check_interval=cfg.training.val_check_interval,
+        n_devices=cfg.training.devices if cfg.training.devices > 0 else None,
+        checkpoint_dir=exp_dir,
+        log_every_n_steps=cfg.training.train_log_every_n_steps,
+    )
+
+    state = None
+    if cfg.model.train:
+        state = trainer.fit(
+            lambda: iter(dm.train_loader()),
+            lambda: iter(dm.test_loader(batch_size=cfg.dataloader.batch_size)),
+            rng=jax.random.PRNGKey(cfg.seed),
+        )
+        save_checkpoint(exp_dir, state, name="final_checkpoint_model", extra={"config": cfg.to_dict()})
+        with open(os.path.join(exp_dir, "history.json"), "w") as fh:
+            json.dump(trainer.history, fh, indent=2)
+
+    if cfg.model.test and state is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        _, metrics = run_validation(
+            lambda b: model.batch_with_preds(variables, b),
+            iter(dm.test_loader()),
+            path_save_results=os.path.join(exp_dir, "test"),
+        )
+        logger.info("test F1 %.4f", metrics.get("f1score", float("nan")))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,165 @@
+"""EMIT sensor support: renormalization constants, eval dataset, raw-.nc reader.
+
+Re-design of the reference EMIT tooling
+(/root/reference/starcop/emit_tools/emit_dataset.py:11-117,
+emit_as_datamodule.py:27-116) plus the raw-file ingestion used by the zero-shot
+notebook (inference_on_raw_EMIT_nc_file.ipynb): EMIT L1B radiance .nc files are
+HDF5 containers, read here directly with h5py (no netCDF4/georeader needed).
+
+EMIT -> AVIRIS domain renormalization constants (emit_dataset.py:61-69) are
+load-bearing for zero-shot transfer of AVIRIS-trained models:
+  mag1c / 240, clip (0, 2), x 1750   (AVIRIS mag1c normalizer domain)
+  rgb   / 20,  clip (0, 2), x 60     (AVIRIS RGB normalizer domain)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAGIC_DIV_BY = 240.0
+RGB_DIV_BY = 20.0
+MAGIC_MULT_BY = 1750.0
+RGB_MULT_BY = 60.0
+EMIT_RGB_WAVELENGTHS = (640.0, 550.0, 460.0)
+DEFAULT_WAVELENGTH_RANGE = (2122.0, 2488.0)
+
+
+def renormalize_emit_to_aviris(mag1c: np.ndarray, rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Map EMIT-domain mag1c/RGB into the AVIRIS training domain."""
+    m = np.clip(np.asarray(mag1c) / MAGIC_DIV_BY, 0, 2) * MAGIC_MULT_BY
+    r = np.clip(np.asarray(rgb) / RGB_DIV_BY, 0, 2) * RGB_MULT_BY
+    return m.astype(np.float32), r.astype(np.float32)
+
+
+def crop_to_multiple(arrays: Sequence[np.ndarray], multiple: int = 32) -> List[np.ndarray]:
+    """Crop trailing H, W so dims are multiples of ``multiple``
+    (reference emit_dataset.py:80-84)."""
+    h, w = arrays[0].shape[-2:]
+    h2, w2 = (h // multiple) * multiple, (w // multiple) * multiple
+    return [a[..., :h2, :w2] for a in arrays]
+
+
+class EMITRawScene:
+    """Raw EMIT L1B radiance granule reader (h5py over the .nc container).
+
+    Exposes the fields the matched-filter pipeline needs: radiance (rows,
+    cols, bands), wavelengths/fwhm (bands,), fill-value mask, and the GLT
+    lookup arrays for georeferencing (orthorectification is a pure gather —
+    see ``georeference``).
+    """
+
+    def __init__(self, path: str):
+        import h5py
+
+        self._f = h5py.File(path, "r")
+        self.radiance = self._f["radiance"]  # lazy (rows, cols, bands)
+        sensor_band = self._f["sensor_band_parameters"]
+        self.wavelengths = np.asarray(sensor_band["wavelengths"][:], np.float64)
+        self.fwhm = np.asarray(sensor_band["fwhm"][:], np.float64)
+        self.fill_value = float(self.radiance.attrs.get("_FillValue", [-9999.0])[0])
+        loc = self._f.get("location")
+        self.glt_x = np.asarray(loc["glt_x"][:]) if loc is not None and "glt_x" in loc else None
+        self.glt_y = np.asarray(loc["glt_y"][:]) if loc is not None and "glt_y" in loc else None
+
+    def band_slice(self, wavelength_range: Tuple[float, float] = DEFAULT_WAVELENGTH_RANGE):
+        sel = (self.wavelengths >= wavelength_range[0]) & (self.wavelengths <= wavelength_range[1])
+        if not sel.any():
+            raise ValueError("No bands in the selected wavelength range")
+        return sel
+
+    def read_bands(self, selection: np.ndarray) -> np.ndarray:
+        return np.asarray(self.radiance[:, :, selection], np.float32)
+
+    def read_rgb(self) -> np.ndarray:
+        """(rows, cols, 3) at the nearest bands to 640/550/460 nm."""
+        idx = [int(np.argmin(np.abs(self.wavelengths - w))) for w in EMIT_RGB_WAVELENGTHS]
+        return np.stack([np.asarray(self.radiance[:, :, i], np.float32) for i in idx], axis=-1)
+
+    def invalid_mask(self, data: np.ndarray) -> np.ndarray:
+        return np.any(data == self.fill_value, axis=-1)
+
+    def georeference(self, raster: np.ndarray, fill_value: Optional[float] = None) -> np.ndarray:
+        """Orthorectify via the GLT (1-based indices; 0 = nodata) — a gather."""
+        if self.glt_x is None:
+            raise ValueError("Granule has no GLT arrays")
+        fill = self.fill_value if fill_value is None else fill_value
+        valid = (self.glt_x > 0) & (self.glt_y > 0)
+        out = np.full(self.glt_x.shape, fill, dtype=raster.dtype)
+        yy = np.clip(self.glt_y - 1, 0, raster.shape[0] - 1)
+        xx = np.clip(self.glt_x - 1, 0, raster.shape[1] - 1)
+        out[valid] = raster[yy[valid], xx[valid]]
+        return out
+
+    def close(self):
+        self._f.close()
+
+
+class EMITEvalDataset:
+    """List-of-arrays EMIT eval dataset (no index CSV).
+
+    Parity with STARCOPEMITDataset (emit_dataset.py:11-117): crops to x32,
+    renormalizes to the AVIRIS domain, label/255, has_plume = any(label),
+    unit weight_loss. Samples follow the standard batch protocol.
+    """
+
+    def __init__(
+        self,
+        mag1c_list: Sequence[np.ndarray],
+        rgb_list: Sequence[np.ndarray],
+        label_list: Sequence[np.ndarray],
+        ids: Optional[Sequence[str]] = None,
+        nodata_masks: Optional[Sequence[np.ndarray]] = None,
+    ):
+        assert len(mag1c_list) == len(rgb_list) == len(label_list)
+        self.items = []
+        for i in range(len(mag1c_list)):
+            m, rgb, label = mag1c_list[i], rgb_list[i], np.asarray(label_list[i], np.float32)
+            if label.max() > 1.5:
+                label = label / 255.0
+            cropped = crop_to_multiple([m[None], np.moveaxis(rgb, -1, 0), label[None]])
+            m_c, rgb_c, label_c = cropped
+            m_n, rgb_n = renormalize_emit_to_aviris(m_c[0], rgb_c)
+            item = {
+                "input": np.concatenate([m_n[None], rgb_n]).astype(np.float32),
+                "output": label_c.astype(np.float32),
+                "weight_loss": np.ones_like(label_c, np.float32),
+                "has_plume": float(label_c.sum() > 0),
+                "id": (ids[i] if ids else f"emit_{i}"),
+            }
+            if nodata_masks is not None:
+                item["nodata_mask"] = crop_to_multiple([np.asarray(nodata_masks[i])[None]])[0]
+            self.items.append(item)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+
+def load_emit_folder_dataset(root: str) -> EMITEvalDataset:
+    """Scan plume_events/ + confounders/ folders for per-scene npy products
+    (mag1c.npy, rgb.npy, label.npy) — the framework-native materialization of
+    the reference's ENVI-pair layout (emit_as_datamodule.py:27-116)."""
+    mags, rgbs, labels, ids = [], [], [], []
+    for sub in ("plume_events", "confounders"):
+        folder = os.path.join(root, sub)
+        if not os.path.isdir(folder):
+            continue
+        for name in sorted(os.listdir(folder)):
+            scene_dir = os.path.join(folder, name)
+            mag_p = os.path.join(scene_dir, "mag1c.npy")
+            rgb_p = os.path.join(scene_dir, "rgb.npy")
+            if not (os.path.exists(mag_p) and os.path.exists(rgb_p)):
+                continue
+            mags.append(np.load(mag_p))
+            rgbs.append(np.load(rgb_p))
+            label_p = os.path.join(scene_dir, "label.npy")
+            labels.append(
+                np.load(label_p) if os.path.exists(label_p) else np.zeros(mags[-1].shape, np.float32)
+            )
+            ids.append(f"{sub}/{name}")
+    return EMITEvalDataset(mags, rgbs, labels, ids)

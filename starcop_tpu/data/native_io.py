@@ -1,0 +1,162 @@
+"""ctypes bindings for the native IO library (cpp/starcop_io.cpp).
+
+Threaded windowed raster reads on the host side of the input pipeline: batch
+chip-window reads run in native threads (pread, no GIL), replacing the
+reference's per-worker-process GDAL readers for raw layouts. Falls back to
+numpy memmap reads transparently when the shared library isn't built.
+
+Build: ``make -C cpp`` (done lazily on first use when g++ is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+_LIB_PATH = os.path.join(_REPO_ROOT, "cpp", "libstarcop_io.so")
+
+LAYOUT_R2 = 0  # (H, W)
+LAYOUT_BIP = 1  # (H, W, C)
+LAYOUT_BSQ = 2  # (C, H, W)
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH):
+        makefile = os.path.join(_REPO_ROOT, "cpp", "Makefile")
+        if os.path.exists(makefile):
+            try:
+                subprocess.run(
+                    ["make", "-C", os.path.dirname(makefile)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except (subprocess.SubprocessError, OSError):
+                return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.starcop_read_window.restype = ctypes.c_int
+    lib.starcop_read_windows_batch.restype = ctypes.c_int
+    lib.starcop_file_size.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def npy_payload_info(path: str) -> Tuple[int, Tuple[int, ...], np.dtype]:
+    """Header offset, shape and dtype of a .npy file (v1/v2 headers)."""
+    with open(path, "rb") as fh:
+        version = np.lib.format.read_magic(fh)
+        shape, fortran, dtype = np.lib.format._read_array_header(fh, version)
+        if fortran:
+            raise ValueError("Fortran-ordered .npy not supported")
+        return fh.tell(), shape, dtype
+
+
+def read_window(
+    path: str,
+    shape: Sequence[int],
+    dtype: np.dtype,
+    window: Tuple[int, int, int, int],
+    layout: int = LAYOUT_R2,
+    offset_bytes: int = 0,
+) -> np.ndarray:
+    """Read (row_off, col_off, h, w) window; returns the window array."""
+    row_off, col_off, h, w = window
+    dtype = np.dtype(dtype)
+    lib = _load()
+    if layout == LAYOUT_R2:
+        out_shape: Tuple[int, ...] = (h, w)
+    elif layout == LAYOUT_BIP:
+        out_shape = (h, w, int(shape[2]))
+    else:
+        out_shape = (int(shape[0]), h, w)
+
+    if lib is None:  # numpy fallback
+        mm = np.memmap(path, dtype=dtype, mode="r", offset=offset_bytes, shape=tuple(shape))
+        if layout == LAYOUT_R2:
+            return np.array(mm[row_off : row_off + h, col_off : col_off + w])
+        if layout == LAYOUT_BIP:
+            return np.array(mm[row_off : row_off + h, col_off : col_off + w, :])
+        return np.array(mm[:, row_off : row_off + h, col_off : col_off + w])
+
+    out = np.empty(out_shape, dtype=dtype)
+    shape_arr = (ctypes.c_int64 * 3)(*(list(shape) + [1] * (3 - len(shape))))
+    rc = lib.starcop_read_window(
+        path.encode(),
+        ctypes.c_int64(offset_bytes),
+        ctypes.c_int32(dtype.itemsize),
+        ctypes.c_int32(layout),
+        shape_arr,
+        ctypes.c_int64(row_off),
+        ctypes.c_int64(col_off),
+        ctypes.c_int64(h),
+        ctypes.c_int64(w),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise OSError(f"starcop_read_window({path}) failed: {rc}")
+    return out
+
+
+def read_npy_windows_batch(
+    paths: Sequence[str],
+    windows: Sequence[Tuple[int, int, int, int]],
+    n_threads: int = 0,
+) -> List[np.ndarray]:
+    """Batched windowed reads from single-band .npy rasters, native-threaded."""
+    lib = _load()
+    infos = [npy_payload_info(p) for p in paths]
+    if lib is None:
+        return [
+            read_window(p, info[1], info[2], win, LAYOUT_R2, info[0])
+            for p, info, win in zip(paths, infos, windows)
+        ]
+    n = len(paths)
+    dtype = infos[0][2]
+    if any(i[2] != dtype for i in infos):
+        raise ValueError("Mixed dtypes in a batch are not supported")
+    outs = [np.empty((w[2], w[3]), dtype=dtype) for w in windows]
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_offsets = (ctypes.c_int64 * n)(*[i[0] for i in infos])
+    shapes_flat = []
+    for i in infos:
+        shapes_flat.extend(list(i[1]) + [1] * (3 - len(i[1])))
+    c_shapes = (ctypes.c_int64 * (3 * n))(*shapes_flat)
+    wins_flat = []
+    for w in windows:
+        wins_flat.extend(w)
+    c_wins = (ctypes.c_int64 * (4 * n))(*wins_flat)
+    c_outs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for o in outs]
+    )
+    rc = lib.starcop_read_windows_batch(
+        c_paths,
+        c_offsets,
+        ctypes.c_int32(dtype.itemsize),
+        ctypes.c_int32(LAYOUT_R2),
+        c_shapes,
+        c_wins,
+        c_outs,
+        ctypes.c_int32(n),
+        ctypes.c_int32(n_threads),
+    )
+    if rc != 0:
+        raise OSError(f"starcop_read_windows_batch failed: {rc}")
+    return outs

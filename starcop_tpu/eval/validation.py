@@ -1,0 +1,195 @@
+"""Validation harness — the parity oracle.
+
+Port of the reference ``run_validation`` semantics
+(/root/reference/starcop/validation.py:26-224), the function whose outputs
+(results.csv / results_agg.json) back the published numbers:
+
+  * per-tile confusion matrices + metric rows (TP/FP/TN/FN, label_pixels_plume,
+    pred_classification, pred_pixels_plume);
+  * threshold sweep over the exact grid [0, 1e-3, 1e-2, 0.5..0.95 by .05,
+    .99, .995, .999] (using the model's ``apply_threshold`` when present, so
+    classical baselines sweep through their morphology);
+  * difficulty split: easy = tiles with > 1000 label pixels;
+  * FPR_no_plume over no-plume tiles; per-difficulty metric families;
+  * aggregate segmentation CM metrics + tile-classification CM metrics +
+    PR-curve points; JSON/CSV artifacts with the same schema.
+
+TPU design: each tile's forward + CMs run inside one jit (batch_with_preds +
+masked CM updates on device); only the tiny per-tile scalar rows come back to
+host. Tiles are batched when shapes allow instead of the reference's
+batch_size==1 restriction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from starcop_tpu.eval import metrics as sm
+
+DEFAULT_THRESHOLDS: List[float] = sorted(
+    [0.0, 1e-3, 1e-2] + list(np.arange(0.5, 0.96, 0.05)) + [0.99, 0.995, 0.999],
+    reverse=True,
+)
+
+
+def run_validation(
+    batch_with_preds: Callable[[Dict], Dict],
+    batches,
+    thresholds: Optional[List[float]] = None,
+    apply_threshold: Optional[Callable] = None,
+    path_save_results: Optional[str] = None,
+    mask_from_magic: bool = False,
+    plot_fn: Optional[Callable] = None,
+) -> Tuple[List[Dict], Dict[str, Any]]:
+    """Evaluate a model over an iterable of batch dicts.
+
+    Args:
+        batch_with_preds: closure enriching a batch with predictions (a bound
+            ``SegmentationModel.batch_with_preds(variables, .)`` or a baseline's
+            method).
+        batches: iterable of batch dicts (any batch size; per-tile rows are
+            emitted per sample).
+        thresholds: PR-sweep thresholds (default: the reference grid).
+        apply_threshold: optional fn(prediction, thr) -> binary (baselines'
+            morphology-aware thresholding); default ``prediction > thr``.
+        path_save_results: directory for results.csv / results_agg.json / plots.
+        mask_from_magic: restrict CMs to valid pixels via batch["nodata_mask"]
+            (orthorectified EMIT scenes).
+        plot_fn: optional fn(enriched_batch, sample_index, tile_id) for images.
+
+    Returns:
+        (per-tile metric rows, aggregate metrics dict).
+    """
+    thresholds = sorted(thresholds or DEFAULT_THRESHOLDS, reverse=True)
+    cm_total = np.zeros((2, 2), np.int64)
+    cm_thresholds = {t: np.zeros((2, 2), np.int64) for t in thresholds}
+    out_data: List[Dict] = []
+
+    for batch in batches:
+        enriched = batch_with_preds(batch)
+        pred_binary = np.asarray(enriched["pred_binary"])
+        y_long = np.asarray(enriched["output_norm"]).astype(np.int64)
+        prediction = np.asarray(enriched["prediction"])
+        bsz = pred_binary.shape[0]
+
+        if mask_from_magic:
+            if "nodata_mask" not in enriched:
+                raise KeyError("mask_from_magic requires batch['nodata_mask']")
+            valid = np.asarray(enriched["nodata_mask"]) == 0
+        else:
+            valid = np.ones_like(y_long, dtype=bool)
+
+        for i in range(bsz):
+            cm_iter = np.asarray(
+                sm.masked_confusion_matrix(pred_binary[i], y_long[i], valid[i])
+            ).astype(np.int64)
+            cm_total += cm_iter
+
+            row: Dict[str, Any] = {}
+            for fun in sm.METRICS_CONFUSION_MATRIX + [sm.TP, sm.TN, sm.FP, sm.FN]:
+                row[fun.__name__] = float(fun(cm_iter))
+            ids = enriched.get("id", [str(len(out_data))] * bsz)
+            row["id"] = ids[i] if isinstance(ids, (list, tuple)) else str(ids)
+            row["label_pixels_plume"] = int(y_long[i].sum())
+            hp = enriched.get("has_plume")
+            row["has_plume"] = bool(np.asarray(hp).reshape(-1)[i]) if hp is not None else row["label_pixels_plume"] > 0
+            row["pred_classification"] = int(np.asarray(enriched["pred_classification"]).reshape(bsz, -1)[i, 0])
+            row["pred_pixels_plume"] = int(pred_binary[i].sum())
+            out_data.append(row)
+
+            for thr in thresholds:
+                if apply_threshold is not None:
+                    pb = np.asarray(apply_threshold(prediction[i : i + 1], thr))[0]
+                else:
+                    pb = (prediction[i] > thr).astype(np.int64)
+                cm_thresholds[thr] += np.asarray(
+                    sm.masked_confusion_matrix(pb, y_long[i], valid[i])
+                ).astype(np.int64)
+
+            if plot_fn is not None:
+                plot_fn(enriched, i, row["id"])
+
+    # ---------------------------------------------------------- aggregates
+    metrics: Dict[str, Any] = {}
+    for row in out_data:
+        row["has_plume"] = row["label_pixels_plume"] > 0
+        row["difficulty"] = "easy" if row["label_pixels_plume"] > 1000 else "hard"
+
+    def cm_of(rows: List[Dict]) -> np.ndarray:
+        tn = sum(r["TN"] for r in rows)
+        fp = sum(r["FP"] for r in rows)
+        fn = sum(r["FN"] for r in rows)
+        tp = sum(r["TP"] for r in rows)
+        return np.asarray([[tn, fp], [fn, tp]])
+
+    total = cm_total.sum()
+    no_plume_rows = [r for r in out_data if not r["has_plume"]]
+    if no_plume_rows:
+        item = cm_of(no_plume_rows)
+        metrics["FPR_no_plume"] = float(item[0, 1] / max(item[0, 1] + item[0, 0], 1))
+        metrics["frac_total_easy"] = float(item.sum() / max(total, 1))
+
+    for str_diff in ("easy", "hard"):
+        rows = [r for r in out_data if r["has_plume"] and r["difficulty"] == str_diff]
+        if not rows:
+            continue
+        cm_diff = cm_of(rows)
+        for f in sm.METRICS_CONFUSION_MATRIX:
+            metrics[f"{f.__name__}_{str_diff}"] = float(f(cm_diff))
+        metrics[f"frac_total_{str_diff}"] = float(cm_diff.sum() / max(total, 1))
+
+    for fun in sm.METRICS_CONFUSION_MATRIX:
+        metrics[fun.__name__] = float(fun(cm_total))
+    metrics["confusion_matrix"] = cm_total.tolist()
+
+    cm_classification = np.asarray(
+        sm.confusion_matrix(
+            np.asarray([r["pred_classification"] for r in out_data]),
+            np.asarray([int(r["has_plume"]) for r in out_data]),
+        )
+    )
+    for fun in sm.METRICS_CONFUSION_MATRIX:
+        metrics[f"classification_{fun.__name__}"] = float(fun(cm_classification))
+    metrics["classification_confusion_matrix"] = cm_classification.tolist()
+
+    metrics["thresholded"] = []
+    for thr in thresholds:
+        cm_t = cm_thresholds[thr]
+        entry = {"threshold": float(thr), "confusion_matrix": cm_t.tolist()}
+        for fun in [sm.precision, sm.recall, sm.TPR, sm.FPR]:
+            entry[fun.__name__] = float(fun(cm_t))
+        metrics["thresholded"].append(entry)
+
+    if path_save_results is not None:
+        os.makedirs(path_save_results, exist_ok=True)
+        _write_results_csv(os.path.join(path_save_results, "results.csv"), out_data)
+        with open(os.path.join(path_save_results, "results_agg.json"), "w") as fh:
+            json.dump(metrics, fh, default=_json_default)
+
+    return out_data, metrics
+
+
+def _write_results_csv(path: str, rows: List[Dict]):
+    import csv
+
+    if not rows:
+        return
+    keys = ["id"] + [k for k in rows[0] if k != "id"]
+    with open(path, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=keys)
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+def _json_default(obj):
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if hasattr(obj, "tolist"):
+        return obj.tolist()
+    return str(obj)

@@ -29,3 +29,4 @@ from starcop_tpu.ops.morphology import (  # noqa: F401
     binary_opening,
     CROSS_KERNEL,
 )
+from starcop_tpu.ops.padding import find_padding, padded_apply  # noqa: F401

@@ -1,0 +1,46 @@
+"""Device mesh and sharding helpers.
+
+The reference has no distributed code (single process, single device —
+SURVEY.md §2.8); this framework makes the mesh a first-class citizen so the
+same train/eval/scene code runs on 1 chip or a pod slice:
+
+  * training: batch axis sharded over the ``"data"`` mesh axis; gradients
+    all-reduce over ICI automatically under jit-with-shardings.
+  * full-scene enhancement: the matched filter's column-block batch axis is
+    sharded over the same axis (blocks are independent -> zero collectives).
+
+No TP/PP is warranted by the ~6.6M-parameter model family; the mesh keeps the
+code mesh-shape-agnostic anyway, so wider layouts are a config change.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Place a pytree of arrays with the leading axis sharded over the mesh."""
+
+    def place(x):
+        spec = P(axis_name, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (e.g. model params) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

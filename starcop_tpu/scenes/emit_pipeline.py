@@ -1,0 +1,137 @@
+"""Zero-shot EMIT inference pipeline: raw radiance -> plume mask, on-device.
+
+TPU re-design of the reference notebook flow
+(inference_on_raw_EMIT_nc_file.ipynb; mag1c driver
+/root/reference/starcop/models/mag1c_emit.py:16-90):
+
+  raw .nc -> band select (2122-2488 nm) -> CH4 template -> column-blocked
+  acrwl1mf (30 iters, alpha 1e-4) -> EMIT->AVIRIS renormalization -> reflect-
+  padded whole-scene U-Net forward -> sigmoid mask -> optional GLT gather.
+
+Everything between the host read and the final mask is one fused on-device
+program per stage; the matched filter's column blocks batch across the chip
+(and shard across a mesh via ``parallel.sharded_mag1c_scene``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from starcop_tpu.data.emit import (
+    DEFAULT_WAVELENGTH_RANGE,
+    EMITRawScene,
+    renormalize_emit_to_aviris,
+)
+from starcop_tpu.ops.ch4_template import generate_template_from_bands
+from starcop_tpu.ops.mag1c import NODATA, mag1c_column_blocks
+from starcop_tpu.ops.padding import padded_apply
+
+
+def emit_mag1c(
+    radiance: np.ndarray,
+    wavelengths: np.ndarray,
+    fwhm: np.ndarray,
+    valid_mask: Optional[np.ndarray] = None,
+    *,
+    wavelength_range: Tuple[float, float] = DEFAULT_WAVELENGTH_RANGE,
+    column_step: int = 32,
+    num_iter: int = 30,
+    alpha: float = 1e-4,
+    mesh=None,
+    compute_dtype=jnp.float32,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Matched filter over an EMIT-like radiance cube.
+
+    Args:
+        radiance: (rows, cols, bands) full-spectrum radiance.
+        wavelengths, fwhm: (bands,) sensor band parameters.
+        valid_mask: (rows, cols) True where pixels are valid.
+        column_step: column-block width (reference demo uses 2; wider blocks
+            give better MXU utilization with identical per-block statistics
+            semantics — per-CCD-column grouping is preserved for multiples of
+            the detector layout).
+        mesh: optional jax Mesh; shards column blocks across devices.
+
+    Returns:
+        (mf, albedo) float32 (rows, cols) with NODATA at invalid pixels.
+    """
+    sel = (wavelengths >= wavelength_range[0]) & (wavelengths <= wavelength_range[1])
+    if not sel.any():
+        raise ValueError("No bands in the selected wavelength range")
+    target = generate_template_from_bands(wavelengths[sel], fwhm[sel])[:, 1]
+    cube = np.asarray(radiance[..., sel], np.float32)
+
+    if mesh is not None:
+        from starcop_tpu.parallel.scene_mag1c import sharded_mag1c_scene
+
+        mf, albedo = sharded_mag1c_scene(
+            jnp.asarray(cube), jnp.asarray(target), valid_mask,
+            mesh=mesh, column_step=column_step, num_iter=num_iter, alpha=alpha,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        mf, albedo = mag1c_column_blocks(
+            jnp.asarray(cube), jnp.asarray(target), valid_mask,
+            column_step=column_step, num_iter=num_iter, alpha=alpha,
+            compute_dtype=compute_dtype,
+        )
+    return np.asarray(mf, np.float32), np.asarray(albedo, np.float32)
+
+
+def emit_inference(
+    scene: EMITRawScene,
+    model_apply: Callable[[jax.Array], jax.Array],
+    *,
+    column_step: int = 32,
+    num_iter: int = 30,
+    alpha: float = 1e-4,
+    mesh=None,
+    georeference: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Full zero-shot pipeline on a raw EMIT granule.
+
+    Args:
+        scene: opened EMITRawScene.
+        model_apply: fn((1, 4, H, W) normalized-domain input) -> (1, 1, H, W)
+            logits (a bound SegmentationModel forward). The 4 channels are
+            [mag1c, R, G, B] in the AVIRIS training domain.
+        georeference: gather outputs onto the GLT grid.
+
+    Returns dict with mag1c, albedo, rgb, prediction (sigmoid), and (if
+    requested) their georeferenced versions.
+    """
+    sel = scene.band_slice()
+    cube = scene.read_bands(sel)
+    invalid = scene.invalid_mask(cube)
+    mf, albedo = emit_mag1c(
+        cube,
+        scene.wavelengths[sel],
+        scene.fwhm[sel],
+        ~invalid,
+        column_step=column_step,
+        num_iter=num_iter,
+        alpha=alpha,
+        mesh=mesh,
+    )
+    rgb = scene.read_rgb()  # (rows, cols, 3)
+
+    mf_in = np.where(mf == NODATA, 0.0, mf)
+    m_n, rgb_n = renormalize_emit_to_aviris(mf_in, np.moveaxis(rgb, -1, 0))
+    model_input = jnp.asarray(np.concatenate([m_n[None], rgb_n]))  # (4, H, W)
+
+    def fwd(batch):
+        return jax.nn.sigmoid(model_apply(batch))
+
+    pred = np.asarray(padded_apply(model_input, fwd, divisor=32))
+    if pred.ndim == 3:
+        pred = pred[0]
+
+    out = {"mag1c": mf, "albedo": albedo, "rgb": rgb, "prediction": pred}
+    if georeference:
+        out["mag1c_geo"] = scene.georeference(mf)
+        out["prediction_geo"] = scene.georeference(pred, fill_value=0.0)
+    return out

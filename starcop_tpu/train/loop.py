@@ -1,0 +1,275 @@
+"""Data-parallel training loop.
+
+TPU re-design of the reference Lightning recipe
+(/root/reference/scripts/train.py:23-170 + model_module.py:69-185):
+
+  * one jitted ``train_step`` closing over the model; the batch's leading axis
+    is sharded over the mesh's ``"data"`` axis, so gradient all-reduce rides
+    ICI automatically under jit — no DDP machinery;
+  * Adam (lr 1e-4 default) through ``optax.inject_hyperparams`` so the
+    ReduceLROnPlateau schedule (factor 0.5, patience 4, monitor val_loss) can
+    update the learning rate between epochs without recompilation;
+  * weighted BCE with pos_weight and per-pixel weight_loss (mean of
+    loss x weight — reference model_module.py:72-88);
+  * on-device validation confusion matrices (pixel segmentation + 10-px-rule
+    tile classification), metrics computed from CMs at epoch end;
+  * best-on-val_loss checkpoint retention and early stopping (the reference
+    builds EarlyStopping but forgets to register it — train.py:114; here it
+    actually runs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from starcop_tpu.eval import metrics as sm
+from starcop_tpu.models.segmenter import SegmentationModel, pred_classification
+from starcop_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+logger = logging.getLogger("starcop_tpu.train")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class ReduceLROnPlateau:
+    """min-mode plateau scheduler (torch semantics: factor, patience)."""
+
+    factor: float = 0.5
+    patience: int = 4
+    best: float = float("inf")
+    num_bad: int = 0
+    scale: float = 1.0
+
+    def update(self, metric: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale *= self.factor
+                self.num_bad = 0
+                logger.info("ReduceLROnPlateau: scaling lr by %.3g -> x%.3g", self.factor, self.scale)
+        return self.scale
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """min-mode early stopping on the monitored metric."""
+
+    patience: int = 8
+    best: float = float("inf")
+    num_bad: int = 0
+    should_stop: bool = False
+
+    def update(self, metric: float) -> bool:
+        if metric < self.best:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.should_stop = True
+        return self.should_stop
+
+
+def create_train_state(
+    model: SegmentationModel,
+    rng: jax.Array,
+    sample_input: jax.Array,
+    learning_rate: float = 1e-4,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    variables = model.init(rng, sample_input)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+    opt_state = tx.init(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats, opt_state=opt_state), tx
+
+
+def make_train_step(model: SegmentationModel, tx: optax.GradientTransformation) -> Callable:
+    """Build the jitted train step. Batches shard over 'data'; params replicate."""
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], lr_scale: jax.Array):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, updates = model.apply(variables, batch["input"], train=True)
+            loss = model.loss_fn(logits, batch["output"], batch.get("weight_loss"))
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        # Scale the injected learning rate (plateau schedule) without recompiling.
+        opt_state = opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "learning_rate": opt_state.hyperparams["learning_rate"] * 0 + lr_scale}
+        )
+        update, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, update)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            opt_state=new_opt_state,
+        )
+        return new_state, loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: SegmentationModel) -> Callable:
+    """Jitted eval step: loss + pixel CM + tile-classification CM, on device."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jax.Array]):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = model.apply(variables, batch["input"], train=False)
+        loss = model.loss_fn(logits, batch["output"], batch.get("weight_loss"))
+        y = model.normalizer.normalize_y(batch["output"]).astype(jnp.int32)
+        pred_binary = (logits >= 0).astype(jnp.int32)  # sigmoid(z) >= .5 <=> z >= 0
+        cm = sm.confusion_matrix(pred_binary, y)
+        tile_pred = pred_classification(pred_binary)[:, 0]
+        tile_y = batch["has_plume"].astype(jnp.int32)
+        cm_cls = sm.confusion_matrix(tile_pred, tile_y)
+        return loss, cm, cm_cls
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch loop with plateau LR, early stopping, best-checkpoint retention.
+
+    Mesh-shape-agnostic: pass ``n_devices`` (or a prebuilt mesh) and batches
+    are sharded over the data axis; with one device this degrades to plain jit.
+    """
+
+    def __init__(
+        self,
+        model: SegmentationModel,
+        learning_rate: float = 1e-4,
+        lr_decay: float = 0.5,
+        lr_patience: int = 4,
+        early_stopping_patience: int = 8,
+        max_epochs: int = 15,
+        val_check_interval: float = 0.5,
+        n_devices: Optional[int] = None,
+        mesh=None,
+        checkpoint_dir: Optional[str] = None,
+        log_every_n_steps: int = 10,
+        callbacks: Iterable[Any] = (),
+    ):
+        self.model = model
+        self.learning_rate = learning_rate
+        self.scheduler = ReduceLROnPlateau(factor=lr_decay, patience=lr_patience)
+        self.early_stopping = EarlyStopping(patience=early_stopping_patience)
+        self.max_epochs = max_epochs
+        self.val_check_interval = val_check_interval
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self.checkpoint_dir = checkpoint_dir
+        self.log_every_n_steps = log_every_n_steps
+        self.callbacks = list(callbacks)
+        self.history: list = []
+        self.best_val_loss = float("inf")
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_batches: Callable[[], Iterable[Dict[str, np.ndarray]]],
+        val_batches: Callable[[], Iterable[Dict[str, np.ndarray]]],
+        rng: Optional[jax.Array] = None,
+        state: Optional[TrainState] = None,
+    ) -> TrainState:
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        first = next(iter(train_batches()))
+        if state is None:
+            state, tx = create_train_state(
+                self.model, rng, jnp.asarray(first["input"]), self.learning_rate
+            )
+        else:
+            tx = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
+        state = jax.tree.map(jnp.asarray, state)
+        state = TrainState(
+            step=state.step,
+            params=replicate(self.mesh, state.params),
+            batch_stats=replicate(self.mesh, state.batch_stats),
+            opt_state=replicate(self.mesh, state.opt_state),
+        )
+        self._train_step = make_train_step(self.model, tx)
+        self._eval_step = make_eval_step(self.model)
+
+        base_lr = self.learning_rate
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            losses = []
+            batches = list(train_batches())
+            val_points = max(1, int(round(1.0 / max(self.val_check_interval, 1e-6))))
+            val_at = {
+                int((i + 1) * len(batches) / val_points) - 1 for i in range(val_points)
+            }
+            for i, batch in enumerate(batches):
+                sharded = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch.items() if hasattr(v, "shape") or isinstance(v, (np.ndarray, list))})
+                lr = jnp.asarray(base_lr * self.scheduler.scale, jnp.float32)
+                state, loss = self._train_step(state, sharded, lr)
+                losses.append(loss)
+                if i % self.log_every_n_steps == 0:
+                    logger.info("epoch %d step %d loss %.5f", epoch, i, float(loss))
+                if i in val_at:
+                    val_metrics = self.validate(state, val_batches)
+                    self._on_validation(state, epoch, val_metrics)
+                    if self.early_stopping.should_stop:
+                        logger.info("Early stopping at epoch %d", epoch)
+                        return state
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            logger.info("epoch %d done: train_loss %.5f (%.1fs)", epoch, epoch_loss, time.time() - t0)
+            for cb in self.callbacks:
+                if hasattr(cb, "on_epoch_end"):
+                    cb.on_epoch_end(self, state, epoch)
+        return state
+
+    # ------------------------------------------------------------------
+    def validate(self, state: TrainState, val_batches) -> Dict[str, float]:
+        total_loss, n = 0.0, 0
+        cm = np.zeros((2, 2), np.int64)
+        cm_cls = np.zeros((2, 2), np.int64)
+        for batch in val_batches():
+            sharded = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch.items() if hasattr(v, "shape") or isinstance(v, (np.ndarray, list))})
+            loss, cm_i, cm_cls_i = self._eval_step(state, sharded)
+            total_loss += float(loss)
+            n += 1
+            cm += np.asarray(cm_i, np.int64)
+            cm_cls += np.asarray(cm_cls_i, np.int64)
+        out = {"val_loss": total_loss / max(n, 1)}
+        for fun in sm.METRICS_CONFUSION_MATRIX:
+            out[f"val_{fun.__name__}"] = float(fun(cm))
+            out[f"val_classification_{fun.__name__}"] = float(fun(cm_cls))
+        return out
+
+    def _on_validation(self, state: TrainState, epoch: int, metrics: Dict[str, float]):
+        self.history.append({"epoch": epoch, **metrics})
+        val_loss = metrics["val_loss"]
+        logger.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
+        self.scheduler.update(val_loss)
+        self.early_stopping.update(val_loss)
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            if self.checkpoint_dir is not None:
+                from starcop_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(self.checkpoint_dir, state, name="best")
+                logger.info("saved best checkpoint (val_loss %.5f)", val_loss)

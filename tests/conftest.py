@@ -6,14 +6,19 @@ exercised without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU. Note: a sitecustomize may import jax at interpreter startup with
+# JAX_PLATFORMS pointing at a TPU tunnel, so the env alone is not enough — the
+# jax.config update below is the authoritative override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # oracles run in float64
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,238 @@
+"""Integration tests: synthetic chip dataset -> datamodule -> training loop ->
+validation harness, on the 8-virtual-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starcop_tpu.data.datamodule import BatchLoader, DataModule, create_windows, sample_weights, tile_rows
+from starcop_tpu.data.dataset import ChipDataset, joint_augment, read_index_csv
+from starcop_tpu.data.synthetic import synthetic_chip_batch, synthetic_scene, write_synthetic_chip_dataset
+from starcop_tpu.eval.validation import DEFAULT_THRESHOLDS, run_validation
+from starcop_tpu.models import SegmentationModel
+from starcop_tpu.parallel.mesh import make_mesh
+from starcop_tpu.train import Trainer, create_train_state, load_checkpoint, save_checkpoint
+from starcop_tpu.train.loop import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def chip_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("chips")
+    rng = np.random.default_rng(0)
+    write_synthetic_chip_dataset(str(root), rng, n_tiles=4, size=256)
+    return str(root)
+
+
+# ----------------------------------------------------------------- dataset
+def test_synthetic_scene_properties():
+    rng = np.random.default_rng(0)
+    s = synthetic_scene(rng, 64, 64, n_plumes=2)
+    assert s["radiance"].shape == (64, 64, len(s["template"]))
+    assert s["label"].max() == 1.0
+    assert (s["radiance"] > 0).all()
+
+
+def test_chip_dataset_reads(chip_root):
+    rows = read_index_csv(os.path.join(chip_root, "index.csv"))
+    assert len(rows) == 4
+    ds = ChipDataset(rows, ["mag1c", "TOA_AVIRIS_640nm"], ["labelbinary"], "weight_mag1c")
+    sample = ds[0]
+    assert sample["input"].shape == (2, 256, 256)
+    assert sample["output"].shape == (1, 256, 256)
+    assert sample["weight_loss"].shape == (1, 256, 256)
+    assert sample["weight_loss"].min() >= 0.1 and sample["weight_loss"].max() <= 1.0
+
+
+def test_windowed_read(chip_root):
+    rows = read_index_csv(os.path.join(chip_root, "index.csv"))
+    row = dict(rows[0])
+    row.update(window_col_off=32, window_row_off=16, window_width=64, window_height=48)
+    ds = ChipDataset([row], ["mag1c"], ["labelbinary"], None)
+    sample = ds[0]
+    assert sample["input"].shape == (1, 48, 64)
+    full = np.load(os.path.join(row["folder"], "mag1c.npy"))
+    np.testing.assert_array_equal(sample["input"][0], full[16:64, 32:96])
+
+
+def test_joint_augment_consistency():
+    rng = np.random.default_rng(5)
+    x = np.arange(2 * 8 * 8, dtype=np.float32).reshape(2, 8, 8)
+    arrays = {"input": x, "output": x[:1].copy()}
+    out = joint_augment(arrays, rng)
+    # Same geometric transform applied to both: channel 0 stays aligned.
+    np.testing.assert_array_equal(out["input"][0], out["output"][0])
+
+
+def test_create_windows_overlap():
+    wins = create_windows(512, 512, 128, 64)
+    assert len(wins) == 49  # 7x7 grid of 128 windows with stride 64
+    assert all(w["window_width"] == 128 for w in wins)
+    # Full coverage: last window reaches the edge.
+    assert max(w["window_row_off"] for w in wins) == 384
+
+
+def test_tile_rows_has_plume_rule(chip_root):
+    rows = read_index_csv(os.path.join(chip_root, "index.csv"))
+    tiled = tile_rows(rows, training_size=128, overlap=64)
+    assert len(tiled) == len(rows) * 9  # 256 -> 3x3 windows of 128/64
+    fracs = [t["frac_positives"] for t in tiled]
+    assert all(0 <= f <= 1 for f in fracs)
+    for t in tiled:
+        assert t["has_plume"] == (t["frac_positives"] > 10 / 64**2)
+
+
+def test_sample_weights_balance():
+    rows = [{"has_plume": True}] * 2 + [{"has_plume": False}] * 8
+    w = sample_weights(rows)
+    np.testing.assert_allclose(w[:2], 1 / 0.2)
+    np.testing.assert_allclose(w[2:], 1 / 0.8)
+
+
+def test_batch_loader_weighted(chip_root):
+    rows = read_index_csv(os.path.join(chip_root, "index.csv"))
+    tiled = tile_rows(rows, training_size=128, overlap=64)
+    ds = ChipDataset(tiled, ["mag1c"], ["labelbinary"], "weight_mag1c", augment=True)
+    loader = BatchLoader(ds, batch_size=8, weighted=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(tiled) // 8
+    b = batches[0]
+    assert b["input"].shape == (8, 1, 128, 128)
+    assert b["output"].shape == (8, 1, 128, 128)
+    assert len(b["id"]) == 8
+
+
+def test_datamodule_end_to_end(chip_root):
+    index = os.path.join(chip_root, "index.csv")
+    dm = DataModule(index, index, input_products=["mag1c"], batch_size=4, num_workers=2)
+    train_batches = list(dm.train_loader())
+    assert train_batches and train_batches[0]["input"].shape[1:] == (1, 128, 128)
+    test_batches = list(dm.test_loader())
+    assert test_batches[0]["input"].shape == (1, 1, 256, 256)
+
+
+# ------------------------------------------------------------------- train
+def test_train_loop_loss_decreases():
+    rng = np.random.default_rng(0)
+    model = SegmentationModel(["mag1c"], model_type="cnn", pos_weight=3.0)
+
+    def batches():
+        r = np.random.default_rng(1)
+        for _ in range(6):
+            b = synthetic_chip_batch(r, batch_size=8, size=64, input_products=("mag1c",))
+            yield b
+
+    trainer = Trainer(model, learning_rate=3e-3, max_epochs=2, val_check_interval=1.0)
+    state = trainer.fit(batches, batches, rng=jax.random.PRNGKey(0))
+    hist = trainer.history
+    assert len(hist) >= 2
+    assert hist[-1]["val_loss"] < hist[0]["val_loss"] * 1.5  # learning happens, no blowup
+    assert int(state.step) == 12
+
+
+def test_train_step_sharded_over_mesh():
+    """The train step must run with batch sharded over all 8 virtual devices."""
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    model = SegmentationModel(["mag1c"], model_type="single")
+    batch = synthetic_chip_batch(np.random.default_rng(0), batch_size=16, size=32, input_products=("mag1c",))
+    trainer = Trainer(model, max_epochs=1, mesh=mesh)
+
+    def batches():
+        yield batch
+
+    state = trainer.fit(batches, batches)
+    assert np.isfinite(trainer.history[-1]["val_loss"])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = SegmentationModel(["mag1c"], model_type="single")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 1, 32, 32)), jnp.float32)
+    state, _ = create_train_state(model, jax.random.PRNGKey(0), x)
+    path = save_checkpoint(str(tmp_path), state, extra={"config": {"a": 1}})
+    # mutate then restore
+    mutated = state.replace(params=jax.tree.map(lambda p: p + 1.0, state.params))
+    restored = load_checkpoint(path, mutated)
+    got = jax.tree.leaves(restored.params)[0]
+    want = jax.tree.leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_plateau_scheduler_and_early_stopping():
+    from starcop_tpu.train import EarlyStopping, ReduceLROnPlateau
+
+    sched = ReduceLROnPlateau(factor=0.5, patience=2)
+    scales = [sched.update(1.0) for _ in range(6)]  # no improvement after first
+    assert scales[0] == 1.0 and scales[-1] < 1.0
+    es = EarlyStopping(patience=3)
+    for _ in range(5):
+        es.update(1.0)
+    assert es.should_stop
+
+
+# ------------------------------------------------------------------- eval
+def test_run_validation_schema(tmp_path):
+    model = SegmentationModel(["mag1c"], model_type="single")
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 1, 64, 64)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def batches():
+        r = np.random.default_rng(2)
+        for _ in range(3):
+            yield synthetic_chip_batch(r, batch_size=2, size=64, input_products=("mag1c",))
+
+    rows, metrics = run_validation(
+        lambda b: model.batch_with_preds(variables, b),
+        batches(),
+        path_save_results=str(tmp_path),
+    )
+    assert len(rows) == 6
+    for key in ("precision", "recall", "f1score", "iou", "accuracy",
+                "classification_f1score", "confusion_matrix", "thresholded"):
+        assert key in metrics, key
+    assert len(metrics["thresholded"]) == len(DEFAULT_THRESHOLDS)
+    thr_values = [t["threshold"] for t in metrics["thresholded"]]
+    assert thr_values == sorted(thr_values, reverse=True)
+    assert 0.0 in thr_values and 0.999 in thr_values and 0.5 in thr_values
+    assert (tmp_path / "results.csv").exists()
+    assert (tmp_path / "results_agg.json").exists()
+    import json
+
+    agg = json.loads((tmp_path / "results_agg.json").read_text())
+    assert "FPR_no_plume" in agg or all(r["has_plume"] for r in rows)
+    # monotonicity: recall non-decreasing as threshold decreases
+    recalls = [t["recall"] for t in metrics["thresholded"]]
+    recalls = [r for r in recalls if np.isfinite(r)]
+    assert all(recalls[i] <= recalls[i + 1] + 1e-9 for i in range(len(recalls) - 1))
+
+
+def test_run_validation_difficulty_split():
+    """Difficulty split: easy = >1000 label px; FPR_no_plume from no-plume tiles."""
+    class FakeModel:
+        def batch_with_preds(self, batch):
+            b = dict(batch)
+            b["output_norm"] = batch["output"]
+            pred = batch["output"] * 0.9 + 0.05  # near-perfect prediction
+            b["prediction"] = pred
+            b["pred_binary"] = (pred > 0.5).astype(np.int32)
+            from starcop_tpu.models import pred_classification
+            b["pred_classification"] = np.asarray(pred_classification(jnp.asarray(b["pred_binary"])))
+            return b
+
+    y_easy = np.zeros((1, 1, 64, 64), np.float32)
+    y_easy[0, 0, :40, :40] = 1  # 1600 px -> easy
+    y_hard = np.zeros((1, 1, 64, 64), np.float32)
+    y_hard[0, 0, :10, :15] = 1  # 150 px -> hard
+    y_none = np.zeros((1, 1, 64, 64), np.float32)
+
+    def batches():
+        for i, y in enumerate([y_easy, y_hard, y_none]):
+            yield {"input": y, "output": y, "id": [f"t{i}"], "has_plume": np.asarray([y.sum() > 0])}
+
+    rows, metrics = run_validation(FakeModel().batch_with_preds, batches())
+    assert metrics["FPR_no_plume"] == 0.0
+    assert metrics["f1score_easy"] == 1.0
+    assert metrics["f1score_hard"] == 1.0
+    assert [r["difficulty"] for r in rows] == ["easy", "hard", "hard"]

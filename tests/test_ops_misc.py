@@ -135,7 +135,9 @@ def test_binary_opening_removes_specks():
 def test_erosion_dilation_duality():
     rng = np.random.default_rng(1)
     img = (rng.uniform(size=(32, 32)) > 0.5).astype(np.float32)
-    er = np.asarray(morphology.erosion(jnp.asarray(img), border_value=0))
+    # Duality: erosion with outside-as-1 == complement of dilating the
+    # complement (dilation pads with 0, so the complemented outside is 1).
+    er = np.asarray(morphology.erosion(jnp.asarray(img), border_value=1))
     dil_inv = ~np.asarray(morphology.dilation(jnp.asarray(1 - img)))
     np.testing.assert_array_equal(er, dil_inv)
 
