@@ -1,0 +1,63 @@
+"""Zero-shot EMIT inference CLI: raw .nc granule -> plume probability mask.
+
+The notebook pipeline (inference_on_raw_EMIT_nc_file.ipynb) as a command:
+
+    python -m starcop_tpu.cli.infer_emit EMIT_L1B_RAD_xxx.nc \
+        --checkpoint model.ckpt --output out_dir [--georeference]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("granule", help="EMIT L1B radiance .nc file")
+    p.add_argument("--checkpoint", required=True, help=".ckpt/.pt (torch, ported) or .npz weights")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--column-step", type=int, default=32)
+    p.add_argument("--num-iter", type=int, default=30)
+    p.add_argument("--georeference", action="store_true")
+    args = p.parse_args(argv)
+
+    from starcop_tpu.data.emit import EMITRawScene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.scenes.emit_pipeline import emit_inference
+    from starcop_tpu.setup_shims import load_pretrained_variables
+    from starcop_tpu.utils.profiling import StageTimer
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="unet_semseg",
+    )
+    variables = load_pretrained_variables(args.checkpoint)
+
+    timer = StageTimer()
+    with timer.stage("total"):
+        scene = EMITRawScene(args.granule)
+        out = emit_inference(
+            scene,
+            lambda x: model.apply(variables, x, train=False),
+            column_step=args.column_step,
+            num_iter=args.num_iter,
+            georeference=args.georeference,
+        )
+        scene.close()
+
+    os.makedirs(args.output, exist_ok=True)
+    for name, arr in out.items():
+        np.save(os.path.join(args.output, f"{name}.npy"), arr)
+    times = timer.report(log=False)
+    print(f"EMIT inference {os.path.basename(args.granule)}: {times['total']:.2f}s; "
+          f"pred mean {float(out['prediction'].mean()):.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""Dataset production CLI: scenes -> matched filter -> sensor sims -> chips.
+
+Re-design of the reference end-to-end prep sweep
+(/root/reference/scripts/preprocessing/starcop_aviris_data_prep.py:1-232):
+for each scene — matched filter, S2A/S2B/WV3 simulation, window statistics,
+negative mining, chip caching — skipping existing outputs (idempotent).
+
+The network-ingest stage (AVIRIS FTP download, JPL page scraping —
+process_aviris.py:244-312, process_data_jpl_4corners.py) is environment-gated:
+this command consumes scenes already on disk as .npy cubes (or ENVI via the
+native reader); `--synthetic N` generates N synthetic scenes instead so the
+full pipeline is runnable hermetically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def process_scene(scene_dir: str, name: str, cube: np.ndarray, wavelengths, fwhm,
+                  label_rgba=None, column_step: int = 32) -> dict:
+    """Matched filter + sensor sims for one scene; writes {scene_dir}/{product}.npy."""
+    import jax.numpy as jnp
+
+    from starcop_tpu.data import sensors
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands, get_mask_bad_bands
+    from starcop_tpu.ops.mag1c import mag1c_column_blocks
+
+    os.makedirs(scene_dir, exist_ok=True)
+    outputs = {}
+
+    mf_path = os.path.join(scene_dir, "mag1c.npy")
+    if not os.path.exists(mf_path):
+        keep = get_mask_bad_bands(wavelengths)
+        keep &= (wavelengths >= 2122) & (wavelengths <= 2488)
+        template = generate_template_from_bands(wavelengths[keep], fwhm[keep])[:, 1]
+        mf, albedo = mag1c_column_blocks(
+            jnp.asarray(cube[..., keep], jnp.float32), jnp.asarray(template), None,
+            column_step=column_step, num_iter=30, alpha=1e-4,
+        )
+        np.save(mf_path, np.asarray(mf, np.float32))
+        np.save(os.path.join(scene_dir, "albedo.npy"), np.asarray(albedo, np.float32))
+    outputs["mag1c"] = mf_path
+
+    wv3_bands = sensors.covered_bands(wavelengths, sensors.WV3_SWIR_CENTERS_FWHM)
+    wv3_path = os.path.join(scene_dir, "wv3.npy")
+    if wv3_bands and not os.path.exists(wv3_path):
+        wv3, _ = sensors.transform_to_worldview_3(
+            jnp.asarray(cube, jnp.float32), wavelengths, bands=wv3_bands
+        )
+        np.save(wv3_path, np.asarray(wv3, np.float32))
+        with open(os.path.join(scene_dir, "wv3_bands.json"), "w") as fh:
+            json.dump(wv3_bands, fh)
+    outputs["wv3"] = wv3_path
+
+    s2_bands = sensors.covered_bands(wavelengths, sensors.S2_BAND_CENTERS_FWHM)
+    for sensor in ("S2A", "S2B"):
+        s2_path = os.path.join(scene_dir, f"{sensor.lower()}.npy")
+        if s2_bands and not os.path.exists(s2_path):
+            s2, _ = sensors.transform_to_sentinel_2(
+                jnp.asarray(cube, jnp.float32), wavelengths, bands=s2_bands, sensor=sensor
+            )
+            np.save(s2_path, np.asarray(s2, np.float32))
+        outputs[sensor] = s2_path
+
+    if label_rgba is not None:
+        np.save(os.path.join(scene_dir, "label_rgba.npy"), label_rgba.astype(np.float32))
+    return outputs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scenes-dir", default=None, help="directory of {name}.npy radiance cubes")
+    p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic scenes instead")
+    p.add_argument("--output", required=True, help="output root for scene products + chips")
+    p.add_argument("--chip-size", type=int, default=512)
+    p.add_argument("--stats-overlap", type=int, default=256)
+    p.add_argument("--n-hard", type=int, default=2)
+    p.add_argument("--n-random", type=int, default=2)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    from starcop_tpu.data.mining import mag1c_window_stats, sampling_no_plumes
+    from starcop_tpu.data.synthetic import aviris_swir_bands, synthetic_scene
+
+    os.makedirs(args.output, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+
+    scenes = []
+    if args.synthetic:
+        # Synthetic cubes span only the matched-filter window; that's the band
+        # set the filter uses, and the sensor sims use their SWIR overlap.
+        centers, fwhm = aviris_swir_bands()
+        for i in range(args.synthetic):
+            s = synthetic_scene(rng, 1024, 640, n_plumes=int(rng.integers(0, 4)))
+            rgba = np.zeros((4,) + s["label"].shape, np.float32)
+            rgba[3] = s["label"]
+            scenes.append((f"synth{i:03d}", s["radiance"], centers, fwhm, rgba))
+    elif args.scenes_dir:
+        for name in sorted(os.listdir(args.scenes_dir)):
+            if not name.endswith(".npy") or name.endswith(("_wl.npy", "_fwhm.npy", "_label.npy")):
+                continue
+            base = name[:-4]
+            cube = np.load(os.path.join(args.scenes_dir, name))
+            wl_p = os.path.join(args.scenes_dir, f"{base}_wl.npy")
+            fw_p = os.path.join(args.scenes_dir, f"{base}_fwhm.npy")
+            wl = np.load(wl_p) if os.path.exists(wl_p) else np.linspace(2122, 2488, cube.shape[-1])
+            fw = np.load(fw_p) if os.path.exists(fw_p) else np.full(len(wl), 5.5)
+            lb_p = os.path.join(args.scenes_dir, f"{base}_label.npy")
+            rgba = np.load(lb_p) if os.path.exists(lb_p) else None
+            scenes.append((base, cube, wl, fw, rgba))
+    else:
+        p.error("Provide --scenes-dir or --synthetic N")
+
+    all_stats = []
+    for name, cube, wl, fw, rgba in scenes:
+        t0 = time.time()
+        scene_dir = os.path.join(args.output, "scenes", name)
+        process_scene(scene_dir, name, cube, np.asarray(wl, np.float64), np.asarray(fw, np.float64), rgba)
+        mf = np.load(os.path.join(scene_dir, "mag1c.npy"))
+        stats = mag1c_window_stats(mf, size=args.chip_size, overlap=args.stats_overlap)
+        for s in stats:
+            s["name"] = name
+        all_stats.extend(stats)
+        print(f"scene {name}: {time.time() - t0:.1f}s ({len(stats)} windows)")
+
+    with open(os.path.join(args.output, "stats_mag1c.json"), "w") as fh:
+        json.dump(all_stats, fh)
+
+    negatives = sampling_no_plumes(all_stats, args.n_hard, args.n_random, seed=args.seed)
+
+    # Chip cache: plume chips (any window whose mag1c max is high + labeled) +
+    # mined negatives.
+    from starcop_tpu.data.chip_cache import cache_dataset
+
+    rows = []
+    for s in all_stats:
+        if s["max"] >= 200 and any(
+            os.path.exists(os.path.join(args.output, "scenes", s["name"], "label_rgba.npy"))
+            for _ in (0,)
+        ):
+            r = dict(s)
+            r["kind"] = "plume_candidate"
+            rows.append(r)
+    for s in negatives:
+        r = dict(s)
+        r["kind"] = "negative"
+        rows.append(r)
+    for i, r in enumerate(rows):
+        r["id"] = f"{r['name']}_r{r['window_row_off']}_c{r['window_col_off']}"
+
+    def read_products(row):
+        scene_dir = os.path.join(args.output, "scenes", row["name"])
+        sl = (
+            slice(row["window_row_off"], row["window_row_off"] + row["window_height"]),
+            slice(row["window_col_off"], row["window_col_off"] + row["window_width"]),
+        )
+        mf = np.load(os.path.join(scene_dir, "mag1c.npy"), mmap_mode="r")[sl]
+        products = {"mag1c": np.asarray(mf)}
+        wv3_path = os.path.join(scene_dir, "wv3.npy")
+        if os.path.exists(wv3_path):
+            wv3 = np.load(wv3_path, mmap_mode="r")
+            bands_path = os.path.join(scene_dir, "wv3_bands.json")
+            if os.path.exists(bands_path):
+                with open(bands_path) as fh:
+                    wv3_bands = json.load(fh)
+            else:
+                wv3_bands = [f"SWIR{i}" for i in range(1, wv3.shape[0] + 1)]
+            for i, band in enumerate(wv3_bands):
+                products[f"TOA_WV3_{band}"] = np.asarray(wv3[i][sl])
+        rgba_path = os.path.join(scene_dir, "label_rgba.npy")
+        rgba = None
+        if os.path.exists(rgba_path) and row.get("kind") == "plume_candidate":
+            rgba = np.asarray(np.load(rgba_path, mmap_mode="r")[:, sl[0], sl[1]])
+        return products, rgba, {}
+
+    index = cache_dataset(
+        os.path.join(args.output, "chips"), rows, read_products,
+        output_size=(args.chip_size, args.chip_size),
+    )
+    print(f"cached {len(rows)} chips -> {index}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""Chip-cache materialization: full scenes -> training-ready 512x512 chips.
+
+Re-design of the reference WindowDataset.cache flow
+(/root/reference/starcop/data/sampling_dataset.py:182-394): for each index row
+(a window into a scene), read every product window, apply the per-acquisition
+TOA correction to radiance products, clamp mag1c to [0, 10000]
+(sampling_dataset.py:291-293), refine labels via ``proposed_mask``, compute
+``weight_mag1c``, pad windows to the output size, and persist one file per
+product per tile plus the train/test index CSV.
+
+Host-side by design (offline data production); per-tile product math (TOA,
+clamp, weights) runs as jitted ops; the write fan-out is threaded.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import csv
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAG1C_CLAMP = (0.0, 10000.0)
+
+
+def pad_to_size(arr: np.ndarray, size: Tuple[int, int], fill: float = 0.0) -> np.ndarray:
+    """Pad trailing (H, W) up to ``size`` (top-left anchored)."""
+    h, w = arr.shape[-2:]
+    th, tw = size
+    if h >= th and w >= tw:
+        return arr[..., :th, :tw]
+    pad = [(0, 0)] * (arr.ndim - 2) + [(0, max(th - h, 0)), (0, max(tw - w, 0))]
+    return np.pad(arr, pad, constant_values=fill)[..., :th, :tw]
+
+
+def cache_chip(
+    folder: str,
+    products: Dict[str, np.ndarray],
+    label_rgba: Optional[np.ndarray] = None,
+    output_size: Tuple[int, int] = (512, 512),
+    toa_correction_factor: Optional[float] = None,
+    toa_products: Sequence[str] = (),
+    solar_irradiance: Optional[Dict[str, float]] = None,
+) -> Dict[str, float]:
+    """Materialize one chip folder from raw product windows.
+
+    Args:
+        folder: output tile folder ({folder}/{product}.npy per product).
+        products: product name -> (H, W) array (raw units).
+        label_rgba: (4, H, W) human annotation for label refinement; when
+            given and 'mag1c' is present, writes 'labelbinary' + 'label_rgba'.
+        toa_correction_factor: pi d^2 / cos(sza) for the acquisition; applied
+            to ``toa_products`` with their per-band solar irradiance.
+
+    Returns per-tile summary stats (has_plume, qplume, label_pixels).
+    """
+    os.makedirs(folder, exist_ok=True)
+    out: Dict[str, np.ndarray] = {}
+
+    for name, arr in products.items():
+        arr = np.asarray(arr, np.float32)
+        if name == "mag1c":
+            arr = np.clip(arr, *MAG1C_CLAMP)
+        if (
+            toa_correction_factor is not None
+            and name in toa_products
+            and solar_irradiance is not None
+            and name in solar_irradiance
+        ):
+            arr = arr * (1e-6 / 1e-4) * toa_correction_factor / solar_irradiance[name]
+        out[name] = arr
+
+    summary = {"has_plume": False, "qplume": 0.0, "label_pixels": 0}
+    if label_rgba is not None and "mag1c" in out:
+        from starcop_tpu.data.labels import proposed_mask
+
+        label = proposed_mask(label_rgba, out["mag1c"][None]).astype(np.float32)
+        out["labelbinary"] = label
+        out["label_rgba"] = np.asarray(label_rgba, np.float32)
+        summary["label_pixels"] = int(label.sum())
+        summary["has_plume"] = bool(label.sum() > 0)
+        summary["qplume"] = float((out["mag1c"] * label).sum())
+    if "mag1c" in out and "weight_mag1c" not in out:
+        out["weight_mag1c"] = np.clip(out["mag1c"] / 400.0, 0.1, 1.0).astype(np.float32)
+
+    for name, arr in out.items():
+        np.save(os.path.join(folder, f"{name}.npy"), pad_to_size(arr, output_size))
+    return summary
+
+
+def cache_dataset(
+    root: str,
+    rows: Sequence[Dict],
+    read_products: "callable",
+    output_size: Tuple[int, int] = (512, 512),
+    num_workers: int = 4,
+    index_name: str = "index.csv",
+) -> str:
+    """Cache many chips in parallel and write the index CSV.
+
+    Args:
+        rows: index rows with at least id + window columns; passed to
+            ``read_products(row) -> (products dict, label_rgba or None,
+            toa kwargs dict)``.
+        read_products: host-side scene reader callback (rasterio/native IO).
+
+    Returns the index CSV path. Skips tiles whose folder already has an index
+    entry (idempotent re-runs, like the reference's skip-if-exists checks).
+    """
+    os.makedirs(root, exist_ok=True)
+
+    def work(row: Dict) -> Dict:
+        folder = os.path.join(root, str(row["id"]))
+        products, label_rgba, toa_kwargs = read_products(row)
+        summary = cache_chip(
+            folder, products, label_rgba, output_size=output_size, **(toa_kwargs or {})
+        )
+        entry = dict(row)
+        entry.update(summary)
+        entry["folder"] = folder
+        entry.setdefault("window_col_off", 0)
+        entry.setdefault("window_row_off", 0)
+        entry.setdefault("window_width", output_size[1])
+        entry.setdefault("window_height", output_size[0])
+        return entry
+
+    with concurrent.futures.ThreadPoolExecutor(max(num_workers, 1)) as pool:
+        entries = list(pool.map(work, rows))
+
+    index_path = os.path.join(root, index_name)
+    keys = sorted({k for e in entries for k in e}, key=lambda k: (k != "id", k))
+    with open(index_path, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=keys)
+        writer.writeheader()
+        writer.writerows(entries)
+    return index_path

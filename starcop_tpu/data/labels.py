@@ -1,0 +1,51 @@
+"""Label refinement: from human RGBA annotations + matched filter to binary masks.
+
+Re-design of the reference ``proposed_mask``
+(/root/reference/starcop/data/mask_creation.py:6-27): threshold mag1c at 200,
+morphologically open+dilate (disk(1) = 3x3 cross), find connected components,
+keep components intersecting the human annotation, and intersect with the raw
+threshold again.
+
+The morphology runs as jittable TPU ops (starcop_tpu.ops.morphology); connected
+components run on host via scipy.ndimage (offline label prep, not a hot path —
+SURVEY.md hard-parts note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from starcop_tpu.ops.morphology import CROSS_KERNEL, binary_opening, dilation
+
+MAG1C_LABEL_THRESHOLD = 200.0
+
+
+def proposed_mask(label_rgba_values: np.ndarray, mag1c_values: np.ndarray) -> np.ndarray:
+    """Refined binary plume mask.
+
+    Args:
+        label_rgba_values: (4, H, W) RGBA human annotation; alpha != 0 marks
+            annotated pixels.
+        mag1c_values: (1, H, W) matched-filter raster.
+
+    Returns:
+        (H, W) bool refined mask.
+    """
+    existing_label = np.asarray(label_rgba_values)[-1] != 0
+    mag1c = np.asarray(mag1c_values)[0]
+    thresholded = mag1c >= MAG1C_LABEL_THRESHOLD
+
+    # opening then dilation with the 3x3 cross (skimage disk(1)); border
+    # semantics: erosion treats outside as True (skimage binary_erosion
+    # border_value=1), dilation as False.
+    opened = np.asarray(binary_opening(thresholded.astype(np.float32), CROSS_KERNEL))
+    opened_dilated = np.asarray(dilation(opened.astype(np.float32), CROSS_KERNEL))
+
+    # Connected components, 8-connectivity (skimage measure.label default).
+    from scipy import ndimage
+
+    components, _ = ndimage.label(opened_dilated, structure=np.ones((3, 3), bool))
+
+    keep = np.unique(components[existing_label & (components != 0)])
+    mask = np.isin(components, keep) & (components != 0)
+    return mask & thresholded

@@ -1,0 +1,149 @@
+"""Aux subsystem tests: regression model, cloud detector, setup shims,
+profiling, CLIs (mag1c + prepare-data end-to-end on synthetic scenes)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from starcop_tpu.config import Config
+
+
+def test_regression_model():
+    from starcop_tpu.models.regression import RegressionModel
+
+    m = RegressionModel(
+        [f"TOA_WV3_SWIR{i}" for i in range(1, 7)],
+        ["TOA_WV3_SWIR8"],
+        model_type="cnn_regression",
+        loss_name="l1",
+    )
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 6, 32, 32)), jnp.float32)
+    y = x[:, :1] * 0.5
+    variables = m.init(jax.random.PRNGKey(0), x)
+    batch = m.batch_with_preds(variables, {"input": x, "output": y})
+    assert batch["prediction"].shape == (2, 1, 32, 32)
+    assert "residual" in batch
+    loss = float(m.loss_fn(batch["prediction"], y))
+    assert np.isfinite(loss)
+
+
+def test_regression_inhibit_normalisation():
+    from starcop_tpu.models.regression import RegressionModel
+
+    m = RegressionModel(["mag1c"], ["mag1c"], inhibit_normalisation=True)
+    assert m.normalizer is None
+    x = jnp.full((1, 1, 16, 16), 5000.0, jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # raw values flow through un-normalized
+    out = m.apply(variables, x)
+    assert out.shape == (1, 1, 16, 16)
+
+
+def test_cloud_detector():
+    from starcop_tpu.models.cloud import CloudDetector
+
+    cd = CloudDetector()
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 13, 64, 64)), jnp.float32)
+    variables = cd.init(jax.random.PRNGKey(0), x)
+    pred = np.asarray(cd.predict(variables, x))
+    assert pred.shape == (1, 64, 64)
+    assert set(np.unique(pred)).issubset({0, 1, 2, 3})
+    scene = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (13, 70, 45)), jnp.float32)
+    mask = np.asarray(cd.predict_scene(variables, scene))
+    assert mask.shape == (70, 45)
+
+
+def test_setup_shims(tmp_path):
+    from starcop_tpu.data.synthetic import write_synthetic_chip_dataset
+    from starcop_tpu.setup_shims import get_dataset, get_model
+
+    rng = np.random.default_rng(0)
+    index = write_synthetic_chip_dataset(str(tmp_path), rng, n_tiles=2, size=256)
+    cfg = Config()
+    cfg.dataset.root_folder = str(tmp_path)
+    cfg.dataset.train_csv = "index.csv"
+    cfg.dataset.test_csv = "index.csv"
+    dm = get_dataset(cfg)
+    assert len(dm.train_rows) == 2
+    cfg.model.model_type = "single"
+    model = get_model(cfg)
+    assert model.pos_weight == 15.0
+    cfg.model.model_mode = "regression_output"
+    cfg.model.loss = "l1"
+    reg = get_model(cfg)
+    assert reg.loss_name == "l1"
+
+
+def test_pretrained_npz_roundtrip(tmp_path):
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.setup_shims import load_pretrained_variables
+    from starcop_tpu.train import create_train_state, save_checkpoint
+
+    m = SegmentationModel(["mag1c"], model_type="single")
+    x = jnp.zeros((1, 1, 16, 16), jnp.float32)
+    state, _ = create_train_state(m, jax.random.PRNGKey(0), x)
+    save_checkpoint(str(tmp_path), state, name="best")
+    variables = load_pretrained_variables(str(tmp_path))
+    want = np.asarray(jax.tree.leaves(state.params)[0])
+    got = np.asarray(jax.tree.leaves(variables["params"])[0])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stage_timer():
+    from starcop_tpu.utils.profiling import StageTimer
+
+    t = StageTimer(sync=False)
+    with t.stage("a"):
+        sum(range(1000))
+    times = t.report(log=False)
+    assert "a" in times and times["a"] >= 0
+
+
+def test_mag1c_cli(tmp_path):
+    from starcop_tpu.cli.mag1c import main
+    from starcop_tpu.data.synthetic import aviris_swir_bands, synthetic_scene
+
+    rng = np.random.default_rng(0)
+    scene = synthetic_scene(rng, 64, 64, n_plumes=1)
+    centers, fwhm = aviris_swir_bands()
+    rad = tmp_path / "scene.npy"
+    np.save(rad, scene["radiance"])
+    np.save(tmp_path / "wl.npy", centers)
+    np.save(tmp_path / "fwhm.npy", fwhm)
+    out = tmp_path / "mf.npy"
+    rc = main([
+        str(rad), "--output", str(out),
+        "--wavelengths", str(tmp_path / "wl.npy"), "--fwhm", str(tmp_path / "fwhm.npy"),
+        "--column-step", "16", "--num-iter", "5",
+    ])
+    assert rc == 0
+    mf = np.load(out)
+    assert mf.shape == (64, 64) and np.isfinite(mf).all()
+    # Detects the plume region
+    assert mf.max() > 500
+
+
+def test_prepare_data_cli_synthetic(tmp_path):
+    from starcop_tpu.cli.prepare_data import main
+    from starcop_tpu.data.dataset import read_index_csv
+
+    out = tmp_path / "prep"
+    rc = main(["--synthetic", "2", "--output", str(out), "--chip-size", "256",
+               "--stats-overlap", "128", "--n-hard", "1", "--n-random", "1"])
+    assert rc == 0
+    assert (out / "stats_mag1c.json").exists()
+    stats = json.loads((out / "stats_mag1c.json").read_text())
+    assert len(stats) > 0
+    index = out / "chips" / "index.csv"
+    assert index.exists()
+    rows = read_index_csv(str(index))
+    assert len(rows) >= 2  # at least the mined negatives
+    tile = rows[0]["folder"]
+    assert os.path.exists(os.path.join(tile, "mag1c.npy"))
+    assert os.path.exists(os.path.join(tile, "TOA_WV3_SWIR5.npy"))
+    m = np.load(os.path.join(tile, "mag1c.npy"))
+    assert m.shape == (256, 256)
