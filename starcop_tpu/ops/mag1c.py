@@ -266,6 +266,7 @@ def mag1c_column_blocks(
     alpha: float = 1e-4,
     fill_value: float = NODATA,
     compute_dtype=jnp.float32,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the matched filter over a full scene in uniform column blocks.
 
@@ -310,10 +311,24 @@ def mag1c_column_blocks(
     # the weighting (e.g. fill values of -9999).
     xb = xb * wb[..., None].astype(xb.dtype)
 
-    mf, albedo = acrwl1mf(
-        xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
-        num_iter=num_iter, alpha=alpha,
-    )
+    if use_pallas is None:
+        # Default to the Pallas-fused kernel on TPU at f32 (≈1.7x the XLA
+        # path: one HBM read of the cube per iteration); XLA elsewhere.
+        use_pallas = (
+            compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu"
+        )
+    if use_pallas:
+        from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+        mf, albedo = acrwl1mf_fused(
+            xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
+            num_iter=num_iter, alpha=alpha,
+        )
+    else:
+        mf, albedo = acrwl1mf(
+            xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
+            num_iter=num_iter, alpha=alpha,
+        )
 
     def unblock(v):
         v = v[..., 0].reshape(nb, h, step).transpose(1, 0, 2).reshape(h, nb * step)

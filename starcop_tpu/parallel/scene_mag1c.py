@@ -71,9 +71,26 @@ def sharded_mag1c_scene(
     wb = jax.device_put(wb.astype(compute_dtype), weight_sharding)
     tpl = jax.device_put(jnp.asarray(template, compute_dtype), NamedSharding(mesh, P()))
 
-    # acrwl1mf is already jitted; with sharded inputs XLA partitions the batch
-    # axis across the mesh — every matmul/cholesky stays device-local.
-    mf, albedo = acrwl1mf(xb, tpl, wb, num_iter=num_iter, alpha=alpha)
+    use_pallas = compute_dtype == jnp.float32 and mesh.devices.flat[0].platform == "tpu"
+    if use_pallas:
+        # Pallas kernels don't auto-partition under jit; shard_map runs the
+        # fused kernel per-device on its local blocks (blocks are independent,
+        # so no collectives are needed).
+        from functools import partial
+
+        from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+        fn = jax.shard_map(
+            partial(acrwl1mf_fused, num_iter=num_iter, alpha=alpha),
+            mesh=mesh,
+            in_specs=(P(axis_name, None, None), P(), P(axis_name, None)),
+            out_specs=(P(axis_name, None, None), P(axis_name, None, None)),
+        )
+        mf, albedo = fn(xb, tpl, wb)
+    else:
+        # acrwl1mf is plain XLA; with sharded inputs jit partitions the batch
+        # axis across the mesh — every matmul/cholesky stays device-local.
+        mf, albedo = acrwl1mf(xb, tpl, wb, num_iter=num_iter, alpha=alpha)
 
     def unblock(v):
         v = v[..., 0].reshape(nb_padded, h, step).transpose(1, 0, 2).reshape(h, nb_padded * step)

@@ -135,3 +135,51 @@ def test_column_blocks_width_not_divisible(synthetic_radiance):
     mf, _ = m.mag1c_column_blocks(scene, template, None, column_step=4, num_iter=2)
     assert np.asarray(mf).shape == (h, w)
     assert np.all(np.isfinite(np.asarray(mf)))
+
+
+def test_fused_pallas_matches_xla_f32(synthetic_radiance):
+    """Pallas-fused kernel (interpret mode) vs the XLA kernel at f32, and vs
+    the float64 oracle for detection fidelity."""
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = x64.astype(np.float32)
+    b, p, s = x.shape
+    w = np.ones((b, p), np.float32)
+    w[:, -23:] = 0
+    x[:, -23:] = 0
+
+    mf_x, r_x = m.acrwl1mf(
+        jnp.asarray(x), jnp.asarray(template, jnp.float32), jnp.asarray(w),
+        num_iter=8, alpha=1e-4,
+    )
+    mf_f, r_f = acrwl1mf_fused(
+        jnp.asarray(x), jnp.asarray(template, jnp.float32), jnp.asarray(w),
+        num_iter=8, alpha=1e-4, tile_p=256, interpret=True,
+    )
+    valid = w.astype(bool)
+    a = np.asarray(mf_x, np.float64)[..., 0][valid]
+    bb = np.asarray(mf_f, np.float64)[..., 0][valid]
+    assert np.corrcoef(a, bb)[0, 1] > 0.9999
+    np.testing.assert_allclose(
+        np.asarray(r_f)[..., 0][valid], np.asarray(r_x)[..., 0][valid], rtol=1e-4
+    )
+    # Detection fidelity vs the f64 oracle at the 500 ppm m threshold.
+    mf_o, _ = m.reference_oracle_acrwl1mf(x64, template, num_iter=8, alpha=1e-4)
+    o = mf_o[..., 0][valid]
+    assert ((bb > 500) == (o > 500)).mean() > 0.999
+
+
+def test_fused_pallas_no_weights(synthetic_radiance):
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = x64.astype(np.float32)
+    mf_x, _ = m.acrwl1mf(jnp.asarray(x), jnp.asarray(template, jnp.float32), num_iter=4)
+    mf_f, _ = acrwl1mf_fused(
+        jnp.asarray(x), jnp.asarray(template, jnp.float32),
+        num_iter=4, tile_p=256, interpret=True,
+    )
+    a = np.asarray(mf_x)[..., 0].ravel()
+    bb = np.asarray(mf_f)[..., 0].ravel()
+    assert np.corrcoef(a, bb)[0, 1] > 0.9999
