@@ -256,6 +256,17 @@ def acrwl1mf(
     return mf * SCALING, r
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "column_step",
+        "num_iter",
+        "alpha",
+        "fill_value",
+        "compute_dtype",
+        "use_pallas",
+    ),
+)
 def mag1c_column_blocks(
     scene: jax.Array,
     template: jax.Array,

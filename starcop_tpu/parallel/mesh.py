@@ -22,6 +22,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (DCN between hosts, ICI within).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on Cloud TPU pods the
+    arguments are auto-detected from the environment; pass them explicitly for
+    other clusters. Call once per process before any jax computation. Safe to
+    call in single-process runs (no-ops on failure by raising only for
+    explicit-arg mismatches).
+    """
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return  # single-process / no cluster env: nothing to do
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices (default: all)."""
     devices = jax.devices()

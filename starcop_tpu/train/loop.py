@@ -150,6 +150,17 @@ def make_eval_step(model: SegmentationModel) -> Callable:
     return jax.jit(eval_step)
 
 
+def _numeric_arrays(batch: Dict) -> Dict:
+    """Keep only numeric array entries of a batch (drop ids and other
+    host-side metadata before device placement)."""
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v) if not hasattr(v, "dtype") else v
+        if hasattr(arr, "dtype") and np.issubdtype(np.asarray(arr).dtype, np.number):
+            out[k] = jnp.asarray(arr)
+    return out
+
+
 class Trainer:
     """Epoch loop with plateau LR, early stopping, best-checkpoint retention.
 
@@ -194,6 +205,7 @@ class Trainer:
         val_batches: Callable[[], Iterable[Dict[str, np.ndarray]]],
         rng: Optional[jax.Array] = None,
         state: Optional[TrainState] = None,
+        resume_from: Optional[str] = None,
     ) -> TrainState:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         first = next(iter(train_batches()))
@@ -201,6 +213,11 @@ class Trainer:
             state, tx = create_train_state(
                 self.model, rng, jnp.asarray(first["input"]), self.learning_rate
             )
+            if resume_from is not None:
+                from starcop_tpu.train.checkpoint import load_checkpoint
+
+                state = load_checkpoint(resume_from, state)
+                logger.info("resumed from %s at step %d", resume_from, int(state.step))
         else:
             tx = optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
         state = jax.tree.map(jnp.asarray, state)
@@ -223,7 +240,7 @@ class Trainer:
                 int((i + 1) * len(batches) / val_points) - 1 for i in range(val_points)
             }
             for i, batch in enumerate(batches):
-                sharded = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch.items() if hasattr(v, "shape") or isinstance(v, (np.ndarray, list))})
+                sharded = shard_batch(self.mesh, _numeric_arrays(batch))
                 lr = jnp.asarray(base_lr * self.scheduler.scale, jnp.float32)
                 state, loss = self._train_step(state, sharded, lr)
                 losses.append(loss)
@@ -248,7 +265,7 @@ class Trainer:
         cm = np.zeros((2, 2), np.int64)
         cm_cls = np.zeros((2, 2), np.int64)
         for batch in val_batches():
-            sharded = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in batch.items() if hasattr(v, "shape") or isinstance(v, (np.ndarray, list))})
+            sharded = shard_batch(self.mesh, _numeric_arrays(batch))
             loss, cm_i, cm_cls_i = self._eval_step(state, sharded)
             total_loss += float(loss)
             n += 1

@@ -1,0 +1,146 @@
+"""End-to-end EMIT tests with a synthetic raw granule (HDF5 .nc layout)."""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from starcop_tpu.data.emit import (  # noqa: E402
+    EMITEvalDataset,
+    EMITRawScene,
+    crop_to_multiple,
+    renormalize_emit_to_aviris,
+)
+from starcop_tpu.data.synthetic import synthetic_scene  # noqa: E402
+from starcop_tpu.scenes.emit_pipeline import emit_inference, emit_mag1c  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def fake_granule(tmp_path_factory):
+    """Synthetic EMIT L1B granule: full-VSWIR band set with an injected plume
+    in the 2.3um window, fill-value stripe, and a GLT."""
+    rng = np.random.default_rng(0)
+    rows, cols = 96, 64
+    # Full EMIT-like wavelength grid (285 bands, ~7.4nm)
+    wl = np.arange(380.0, 2490.0, 7.4)
+    fwhm = np.full_like(wl, 8.5)
+    swir = (wl >= 2122) & (wl <= 2488)
+
+    scene = synthetic_scene(rng, rows, cols, n_plumes=1)
+    # Build the full cube: random smooth radiance everywhere; replace the SWIR
+    # window with the plume-bearing synthetic radiance (resampled band count).
+    cube = rng.uniform(1.0, 8.0, size=(rows, cols, len(wl))).astype(np.float32)
+    s_syn = scene["radiance"].shape[-1]
+    idx = np.linspace(0, s_syn - 1, swir.sum()).astype(int)
+    cube[..., swir] = scene["radiance"][..., idx]
+
+    fill = -9999.0
+    cube[:5, :3, :] = fill  # invalid corner
+
+    # Identity-ish GLT (1-based), slightly larger grid.
+    glt_y, glt_x = np.mgrid[1 : rows + 1, 1 : cols + 1]
+    glt_x = np.pad(glt_x, ((0, 4), (0, 4)))
+    glt_y = np.pad(glt_y, ((0, 4), (0, 4)))
+
+    path = tmp_path_factory.mktemp("emit") / "EMIT_L1B_RAD_fake.nc"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [fill]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=fwhm)
+        loc = f.create_group("location")
+        loc.create_dataset("glt_x", data=glt_x)
+        loc.create_dataset("glt_y", data=glt_y)
+    return str(path), scene
+
+
+def test_raw_scene_reader(fake_granule):
+    path, scene = fake_granule
+    s = EMITRawScene(path)
+    assert s.wavelengths.shape == s.fwhm.shape
+    sel = s.band_slice()
+    assert sel.sum() > 30
+    cube = s.read_bands(sel)
+    assert cube.shape[:2] == (96, 64)
+    invalid = s.invalid_mask(cube)
+    assert invalid[:5, :3].all() and not invalid[10:, 10:].any()
+    rgb = s.read_rgb()
+    assert rgb.shape == (96, 64, 3)
+    s.close()
+
+
+def test_emit_mag1c_detects_plume(fake_granule):
+    path, scene = fake_granule
+    s = EMITRawScene(path)
+    sel = s.band_slice()
+    cube = s.read_bands(sel)
+    invalid = s.invalid_mask(cube)
+    mf, albedo = emit_mag1c(
+        cube, s.wavelengths[sel], s.fwhm[sel], ~invalid, column_step=16, num_iter=10
+    )
+    s.close()
+    assert mf.shape == (96, 64)
+    assert (mf[:5, :3] == -9999.0).all()
+    truth = scene["concentration"] > 1000
+    if truth.sum() > 10:
+        # matched filter lights up inside the plume much more than outside
+        inside = np.median(mf[truth])
+        outside = np.median(mf[~truth & (mf != -9999.0)])
+        assert inside > outside + 200
+
+
+def test_emit_inference_full(fake_granule):
+    path, _ = fake_granule
+    from starcop_tpu.models import SegmentationModel
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    x0 = jnp.zeros((1, 4, 32, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    s = EMITRawScene(path)
+    out = emit_inference(
+        s,
+        lambda x: model.apply(variables, x, train=False),
+        column_step=16,
+        num_iter=5,
+        georeference=True,
+    )
+    s.close()
+    assert out["prediction"].shape == (96, 64)
+    assert np.all((out["prediction"] >= 0) & (out["prediction"] <= 1))
+    assert out["prediction_geo"].shape == (100, 68)
+    assert out["mag1c_geo"].shape == (100, 68)
+    # GLT padding area maps to fill
+    assert (out["mag1c_geo"][96:, :] == -9999.0).all()
+
+
+def test_renormalization_constants():
+    m, rgb = renormalize_emit_to_aviris(np.full((4, 4), 480.0), np.full((3, 4, 4), 40.0))
+    np.testing.assert_allclose(m, 2.0 * 1750.0)
+    np.testing.assert_allclose(rgb, 2.0 * 60.0)
+
+
+def test_crop_to_multiple():
+    a = np.ones((1, 70, 45))
+    out = crop_to_multiple([a], 32)[0]
+    assert out.shape == (1, 64, 32)
+
+
+def test_emit_eval_dataset():
+    rng = np.random.default_rng(0)
+    mags = [rng.uniform(0, 480, (70, 45)).astype(np.float32)]
+    rgbs = [rng.uniform(0, 40, (70, 45, 3)).astype(np.float32)]
+    labels = [(rng.uniform(size=(70, 45)) > 0.98).astype(np.float32) * 255]
+    ds = EMITEvalDataset(mags, rgbs, labels, ids=["scene0"])
+    item = ds[0]
+    assert item["input"].shape == (4, 64, 32)
+    assert item["output"].max() <= 1.0
+    assert item["weight_loss"].min() == 1.0
+    assert item["id"] == "scene0"
