@@ -8,6 +8,9 @@ renormalization -> reflect-padded whole-scene U-Net forward -> GLT
 georeference. Equivalent CLI: ``python -m starcop_tpu.cli.infer_emit``.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 from starcop_tpu.cli.infer_emit import main

@@ -6,6 +6,9 @@ the full validation harness. Swap the synthetic dataset for a real chip index
 CSV and a ported checkpoint for the real workflow.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 import tempfile

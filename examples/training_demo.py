@@ -4,6 +4,9 @@ a short end-to-end training run on a small synthetic dataset.
     python examples/training_demo.py [epochs]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import tempfile
 

@@ -77,6 +77,13 @@ def main(argv=None):
         loss_name=cfg.model.loss,
     )
 
+    from starcop_tpu.train.logging import make_logger
+
+    metric_logger = make_logger(
+        exp_dir, wandb_project=cfg.wandb.project if cfg.wandb.entity else "",
+        wandb_entity=cfg.wandb.entity, config=cfg.to_dict(),
+    )
+
     trainer = Trainer(
         model,
         learning_rate=cfg.model.lr,
@@ -88,6 +95,7 @@ def main(argv=None):
         n_devices=cfg.training.devices if cfg.training.devices > 0 else None,
         checkpoint_dir=exp_dir,
         log_every_n_steps=cfg.training.train_log_every_n_steps,
+        metric_logger=metric_logger,
     )
 
     state = None

@@ -32,6 +32,7 @@ def synthetic_scene(
     template: Optional[np.ndarray] = None,
     max_concentration: float = 4000.0,
     noise: float = 0.01,
+    n_confounders: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Synthetic (H, W, S) radiance cube with injected plumes.
 
@@ -39,8 +40,15 @@ def synthetic_scene(
     i.e. Beer-Lambert absorption along the unit-absorption spectrum the
     matched filter searches for.
 
+    ``n_confounders`` adds rectangular surface patches with CH4-like
+    absorption but a distinct dark-bluish RGB signature (the real-world
+    failure mode of the matched filter: calcite/painted/dark surfaces that
+    mimic the 2.3um feature — the reason the learned model beats the
+    threshold baseline). Confounders are excluded from the label.
+
     Returns dict with radiance (H, W, S), concentration (H, W) in ppm x m,
-    label (H, W) binary at conc > 500, rgb (H, W, 3) and the template (S,).
+    label (H, W) binary at conc > 500 (true plumes only), rgb (H, W, 3),
+    confounder_mask (H, W), and the template (S,).
     """
     if template is None:
         centers, fwhm = aviris_swir_bands()
@@ -73,12 +81,27 @@ def synthetic_scene(
             -(ry**2 / (2 * sy**2) + rx**2 / (2 * sx**2))
         )
 
-    transmission = np.exp(conc[..., None] * template[None, None, :] / 1e5)
+    # Confounder surfaces: same spectral absorption shape (so the matched
+    # filter fires) but dark, bluish RGB and sharp rectangular footprints.
+    confounder_mask = np.zeros((height, width), bool)
+    conf_conc = np.zeros((height, width))
+    for _ in range(n_confounders):
+        ch = int(rng.uniform(6, height // 4))
+        cw = int(rng.uniform(6, width // 4))
+        r0 = int(rng.uniform(0, height - ch))
+        c0 = int(rng.uniform(0, width - cw))
+        confounder_mask[r0 : r0 + ch, c0 : c0 + cw] = True
+        conf_conc[r0 : r0 + ch, c0 : c0 + cw] = rng.uniform(0.3, 1.0) * max_concentration
+
+    total_conc = conc + conf_conc
+    transmission = np.exp(total_conc[..., None] * template[None, None, :] / 1e5)
     radiance = albedo[..., None] * base[None, None, :] * transmission
     radiance = radiance + rng.normal(0, noise, size=radiance.shape)
     radiance = np.clip(radiance, 1e-3, None)
 
     rgb = np.stack([albedo * f for f in (55.0, 60.0, 50.0)], axis=-1)
+    # confounders look dark/bluish in the visible bands
+    rgb[confounder_mask] *= np.array([0.25, 0.3, 0.55])
     rgb += rng.normal(0, 0.5, size=rgb.shape)
 
     return {
@@ -86,6 +109,7 @@ def synthetic_scene(
         "concentration": conc.astype(np.float32),
         "label": (conc > 500.0).astype(np.float32),
         "rgb": np.clip(rgb, 0, None).astype(np.float32),
+        "confounder_mask": confounder_mask,
         "template": np.asarray(template, np.float64),
     }
 
@@ -145,6 +169,7 @@ def write_synthetic_chip_dataset(
     n_tiles: int = 12,
     size: int = 512,
     run_matched_filter: bool = False,
+    max_confounders: int = 0,
 ) -> str:
     """Materialize a chip dataset on disk in the framework's native layout.
 
@@ -161,7 +186,10 @@ def write_synthetic_chip_dataset(
         tile_id = f"synth_{i:04d}"
         folder = os.path.join(root, tile_id)
         os.makedirs(folder, exist_ok=True)
-        scene = synthetic_scene(rng, size, size, n_plumes=int(rng.integers(0, 3)))
+        scene = synthetic_scene(
+            rng, size, size, n_plumes=int(rng.integers(0, 3)),
+            n_confounders=int(rng.integers(0, max_confounders + 1)),
+        )
         if run_matched_filter:
             import jax.numpy as jnp
 

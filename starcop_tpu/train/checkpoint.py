@@ -42,6 +42,42 @@ def save_checkpoint(directory: str, state, name: str = "checkpoint", extra: Opti
     return path
 
 
+def save_checkpoint_orbax(directory: str, state, name: str = "checkpoint") -> str:
+    """Orbax backend: async-capable, multi-host-safe checkpointing (preferred
+    for pod-scale runs; the npz backend stays the dependency-free default)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, name))
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(
+        path,
+        {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        },
+        force=True,
+    )
+    return path
+
+
+def load_checkpoint_orbax(path: str, state):
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.PyTreeCheckpointer()
+    restored = checkpointer.restore(
+        os.path.abspath(path),
+        item={
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        },
+    )
+    return state.replace(**restored)
+
+
 def load_checkpoint(path: str, state):
     """Load into the structure of an existing TrainState (shape template)."""
     with np.load(path) as data:

@@ -182,6 +182,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         log_every_n_steps: int = 10,
         callbacks: Iterable[Any] = (),
+        metric_logger=None,
     ):
         self.model = model
         self.learning_rate = learning_rate
@@ -193,6 +194,7 @@ class Trainer:
         self.checkpoint_dir = checkpoint_dir
         self.log_every_n_steps = log_every_n_steps
         self.callbacks = list(callbacks)
+        self.metric_logger = metric_logger
         self.history: list = []
         self.best_val_loss = float("inf")
         self._train_step = None
@@ -246,6 +248,9 @@ class Trainer:
                 losses.append(loss)
                 if i % self.log_every_n_steps == 0:
                     logger.info("epoch %d step %d loss %.5f", epoch, i, float(loss))
+                    if self.metric_logger is not None:
+                        self.metric_logger.log({"train_loss": float(loss), "epoch": epoch},
+                                               step=int(state.step))
                 if i in val_at:
                     val_metrics = self.validate(state, val_batches)
                     self._on_validation(state, epoch, val_metrics)
@@ -281,6 +286,8 @@ class Trainer:
         self.history.append({"epoch": epoch, **metrics})
         val_loss = metrics["val_loss"]
         logger.info("val: %s", {k: round(v, 4) for k, v in metrics.items()})
+        if self.metric_logger is not None:
+            self.metric_logger.log(metrics)
         self.scheduler.update(val_loss)
         self.early_stopping.update(val_loss)
         if val_loss < self.best_val_loss:

@@ -147,3 +147,36 @@ def test_prepare_data_cli_synthetic(tmp_path):
     assert os.path.exists(os.path.join(tile, "TOA_WV3_SWIR5.npy"))
     m = np.load(os.path.join(tile, "mag1c.npy"))
     assert m.shape == (256, 256)
+
+
+def test_jsonl_logger(tmp_path):
+    from starcop_tpu.train.logging import JSONLLogger, make_logger
+
+    lg = JSONLLogger(str(tmp_path / "m.jsonl"))
+    lg.log({"loss": 0.5}, step=1)
+    lg.log({"loss": 0.25, "f1": 0.8}, step=2)
+    lg.log_image("grid", "/tmp/img.png", step=2)
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
+    assert lines[2]["image"] == "grid"
+    # make_logger falls back to JSONL when wandb is unavailable
+    lg2 = make_logger(str(tmp_path), wandb_project="starcop")
+    lg2.log({"a": 1})
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.train import create_train_state
+    from starcop_tpu.train.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+
+    m = SegmentationModel(["mag1c"], model_type="single")
+    x = jnp.zeros((1, 1, 16, 16), jnp.float32)
+    state, _ = create_train_state(m, jax.random.PRNGKey(0), x)
+    path = save_checkpoint_orbax(str(tmp_path), state)
+    mutated = state.replace(params=jax.tree.map(lambda p: p * 0.0, state.params))
+    restored = load_checkpoint_orbax(path, mutated)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
