@@ -236,3 +236,31 @@ def test_run_validation_difficulty_split():
     assert metrics["f1score_easy"] == 1.0
     assert metrics["f1score_hard"] == 1.0
     assert [r["difficulty"] for r in rows] == ["easy", "hard", "hard"]
+
+
+def test_sharded_mag1c_matches_single_device():
+    """Column-sharded scene mag1c over the 8-device mesh must equal the
+    single-device column-blocks result (blocks are independent)."""
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.ops.mag1c import mag1c_column_blocks
+    from starcop_tpu.parallel.scene_mag1c import sharded_mag1c_scene
+
+    scene = synthetic_scene(np.random.default_rng(0), 48, 64, n_plumes=1)
+    x = jnp.asarray(scene["radiance"])
+    tpl = jnp.asarray(scene["template"], jnp.float32)
+    mesh = make_mesh(8)
+    mf_sharded, alb_sharded = sharded_mag1c_scene(
+        x, tpl, None, mesh=mesh, column_step=8, num_iter=4, alpha=1e-4
+    )
+    mf_single, alb_single = mag1c_column_blocks(
+        x, tpl, None, column_step=8, num_iter=4, alpha=1e-4
+    )
+    # Partitioned matmuls reduce in a different order: allow f32-level drift
+    # but require detection-equivalence.
+    a = np.asarray(mf_single).ravel()
+    b = np.asarray(mf_sharded).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99999
+    assert ((a > 500) == (b > 500)).mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(alb_sharded), np.asarray(alb_single), rtol=1e-4
+    )
