@@ -183,3 +183,24 @@ def test_fused_pallas_no_weights(synthetic_radiance):
     a = np.asarray(mf_x)[..., 0].ravel()
     bb = np.asarray(mf_f)[..., 0].ravel()
     assert np.corrcoef(a, bb)[0, 1] > 0.9999
+
+
+def test_fused_pallas_bf16_streaming(synthetic_radiance):
+    """bf16 streaming variant: detection-equivalent to the f32 fused path."""
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = jnp.asarray(x64.astype(np.float32))
+    tpl = jnp.asarray(template, jnp.float32)
+    mf_f32, _ = acrwl1mf_fused(x, tpl, num_iter=6, alpha=1e-4, tile_p=256, interpret=True)
+    mf_bf16, _ = acrwl1mf_fused(
+        x, tpl, num_iter=6, alpha=1e-4, tile_p=256, interpret=True,
+        stream_dtype=jnp.bfloat16,
+    )
+    a = np.asarray(mf_f32)[..., 0].ravel()
+    b = np.asarray(mf_bf16)[..., 0].ravel()
+    assert ((a > 500) == (b > 500)).mean() > 0.998
+    big = a > 500
+    if big.any():
+        rel = np.abs(b[big] - a[big]) / a[big]
+        assert np.median(rel) < 0.02
