@@ -117,6 +117,20 @@ def main(argv=None):
             path_save_results=os.path.join(exp_dir, "test"),
         )
         logger.info("test F1 %.4f", metrics.get("f1score", float("nan")))
+
+        # Reference also validates on the non-tiled train split (train.py:152-164).
+        from starcop_tpu.data.datamodule import BatchLoader
+        from starcop_tpu.data.dataset import ChipDataset
+
+        train_full = ChipDataset(
+            dm.train_rows, dm.input_products, dm.output_products, dm.weight_loss_product
+        )
+        _, metrics_train = run_validation(
+            lambda b: model.batch_with_preds(variables, b),
+            iter(BatchLoader(train_full, batch_size=1)),
+            path_save_results=os.path.join(exp_dir, "train"),
+        )
+        logger.info("train F1 %.4f", metrics_train.get("f1score", float("nan")))
     return 0
 
 

@@ -15,6 +15,7 @@ Re-design of the reference Permian2019DataModule
 from __future__ import annotations
 
 import concurrent.futures
+import os
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -164,6 +165,46 @@ class BatchLoader:
         return batch
 
 
+def prefetch_to_device(iterator, mesh=None, size: int = 2, axis_name: str = "data"):
+    """Double-buffered host->device prefetch.
+
+    Starts the (async) device transfer of the next ``size`` batches while the
+    current one computes — the host->HBM half of the TPU feed pipeline (the
+    native-IO threaded reads are the disk->host half). With a mesh, batches
+    are placed sharded over the data axis.
+    """
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.parallel.mesh import shard_batch
+
+    def place(batch):
+        numeric = {}
+        passthrough = {}
+        for k, v in batch.items():
+            arr = np.asarray(v) if not hasattr(v, "dtype") else v
+            if hasattr(arr, "dtype") and np.issubdtype(np.asarray(arr).dtype, np.number):
+                numeric[k] = jnp.asarray(arr)
+            else:
+                passthrough[k] = v
+        if mesh is not None:
+            numeric = shard_batch(mesh, numeric, axis_name)
+        else:
+            numeric = jax.device_put(numeric)
+        numeric.update(passthrough)
+        return numeric
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append(place(batch))  # device_put is async: transfer overlaps
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class DataModule:
     """End-to-end dataset assembly from an index CSV (the datamodule role).
 
@@ -191,6 +232,7 @@ class DataModule:
         num_workers: int = 0,
         seed: int = 42,
     ):
+        self.train_csv_path = train_csv
         self.train_rows = read_index_csv(train_csv)
         self.test_rows = read_index_csv(test_csv) if test_csv else []
         self.input_products = list(input_products)
@@ -206,12 +248,45 @@ class DataModule:
 
     @property
     def tiled_train_rows(self) -> List[Dict]:
+        """Training windows; persisted next to the train CSV like the
+        reference's tiled dataframe (datamodule.py:17-64) so re-runs skip the
+        label-statistics pass."""
         if self._tiled_train_rows is None:
-            self._tiled_train_rows = tile_rows(
-                self.train_rows, self.training_size, self.training_overlap,
-                label_product=self.output_products[0],
-            )
+            cache = self._tiled_cache_path()
+            if cache and os.path.exists(cache):
+                from starcop_tpu.data.dataset import read_index_csv
+
+                rows = read_index_csv(cache)
+                for r in rows:
+                    if "frac_positives" in r and r["frac_positives"] != "":
+                        r["frac_positives"] = float(r["frac_positives"])
+                self._tiled_train_rows = rows
+            else:
+                self._tiled_train_rows = tile_rows(
+                    self.train_rows, self.training_size, self.training_overlap,
+                    label_product=self.output_products[0],
+                )
+                if cache:
+                    self._write_rows_csv(cache, self._tiled_train_rows)
         return self._tiled_train_rows
+
+    def _tiled_cache_path(self) -> Optional[str]:
+        if not self.train_csv_path:
+            return None
+        base, ext = os.path.splitext(self.train_csv_path)
+        return f"{base}_tiled_{self.training_size}_{self.training_overlap}{ext or '.csv'}"
+
+    @staticmethod
+    def _write_rows_csv(path: str, rows: List[Dict]):
+        import csv
+
+        if not rows:
+            return
+        keys = sorted({k for r in rows for k in r}, key=lambda k: (k != "id", k))
+        with open(path, "w", newline="") as fh:
+            writer = csv.DictWriter(fh, fieldnames=keys)
+            writer.writeheader()
+            writer.writerows(rows)
 
     def train_dataset(self, augment: bool = True) -> ChipDataset:
         return ChipDataset(

@@ -180,3 +180,24 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+
+
+def test_plot_batch_smoke(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from starcop_tpu.data.synthetic import synthetic_chip_batch
+    from starcop_tpu.eval.plot import DIFFERENCES_COLORS, mask_to_rgb, plot_batch
+    from starcop_tpu.models import SegmentationModel
+
+    products = ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"]
+    model = SegmentationModel(products, model_type="single")
+    batch = synthetic_chip_batch(np.random.default_rng(0), batch_size=2, size=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["input"]))
+    enriched = model.batch_with_preds(variables, batch)
+    fig = plot_batch(enriched, products, ["rgb_aviris", "mag1c", "label", "pred", "differences"])
+    out = tmp_path / "grid.png"
+    fig.savefig(out)
+    assert out.stat().st_size > 1000
+    rgb = mask_to_rgb(np.array([[0, 3], [2, 1]]), [0, 1, 2, 3], DIFFERENCES_COLORS)
+    assert rgb.shape == (2, 2, 4)

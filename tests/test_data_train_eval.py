@@ -264,3 +264,25 @@ def test_sharded_mag1c_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(alb_sharded), np.asarray(alb_single), rtol=1e-4
     )
+
+
+def test_prefetch_to_device(chip_root):
+    from starcop_tpu.data.datamodule import prefetch_to_device
+
+    rows = read_index_csv(os.path.join(chip_root, "index.csv"))
+    ds = ChipDataset(rows, ["mag1c"], ["labelbinary"], "weight_mag1c")
+    loader = BatchLoader(ds, batch_size=2)
+    batches = list(prefetch_to_device(iter(loader), size=2))
+    assert len(batches) == 2
+    b = batches[0]
+    assert isinstance(b["input"], jax.Array)
+    assert b["input"].shape == (2, 1, 256, 256)
+    assert isinstance(b["id"], list)  # metadata passes through untouched
+    # sharded placement over the mesh (batch must divide the mesh size)
+    mesh = make_mesh(8)
+    tiled = tile_rows(rows, training_size=128, overlap=64)
+    ds8 = ChipDataset(tiled, ["mag1c"], ["labelbinary"], "weight_mag1c")
+    loader8 = BatchLoader(ds8, batch_size=8, drop_last=True)
+    batches = list(prefetch_to_device(iter(loader8), mesh=mesh))
+    shard_shapes = {s.data.shape for s in batches[0]["input"].addressable_shards}
+    assert shard_shapes == {(1, 1, 128, 128)}  # 8-batch split 1-per-device
