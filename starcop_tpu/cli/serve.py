@@ -1,0 +1,74 @@
+"""Batch serving CLI: process a directory/queue of EMIT granules.
+
+    python -m starcop_tpu.cli.serve --granules-dir /data/emit \
+        --checkpoint model.npz --output /data/out [--watch 30]
+
+Runs the three-stage pipelined runtime (host read | device compute | host
+write) so the TPU never waits on IO. ``--watch N`` polls the directory every N
+seconds and processes new granules as they land (a minimal production loop).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--granules-dir", required=True)
+    p.add_argument("--pattern", default="*.nc")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--column-step", type=int, default=32)
+    p.add_argument("--num-iter", type=int, default=30)
+    p.add_argument("--georeference", action="store_true")
+    p.add_argument("--watch", type=int, default=0, help="poll interval seconds (0 = one pass)")
+    args = p.parse_args(argv)
+
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+    from starcop_tpu.setup_shims import load_pretrained_variables
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="unet_semseg",
+    )
+    variables = load_pretrained_variables(args.checkpoint)
+
+    pipeline = emit_serving_pipeline(
+        lambda x: model.apply(variables, x, train=False),
+        args.output,
+        column_step=args.column_step,
+        num_iter=args.num_iter,
+        georeference=args.georeference,
+    )
+
+    processed = set()
+
+    def pending():
+        files = sorted(glob.glob(os.path.join(args.granules_dir, args.pattern)))
+        return [f for f in files if f not in processed]
+
+    while True:
+        batch = pending()
+        if batch:
+            results = pipeline.run(batch)
+            for r in results:
+                status = "ERROR " + r.error if r.error else (
+                    f"ok read {r.timings.get('read_s', 0):.2f}s "
+                    f"compute {r.timings.get('compute_s', 0):.2f}s "
+                    f"write {r.timings.get('write_s', 0):.2f}s"
+                )
+                print(f"{os.path.basename(r.name)}: {status}")
+            processed.update(batch)
+        if not args.watch:
+            return 0
+        time.sleep(args.watch)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,124 @@
+"""Serving pipeline tests: staged threading semantics, error isolation, and
+end-to-end granule processing parity with the sequential path."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from starcop_tpu.serve.pipeline import ScenePipeline
+
+
+def test_pipeline_basic_order_and_results():
+    log = []
+
+    def read_fn(name):
+        log.append(("r", name))
+        return {"v": int(name)}
+
+    def compute_fn(payload):
+        return {"out": payload["v"] * 2}
+
+    written = {}
+
+    def write_fn(name, outputs):
+        written[name] = outputs["out"]
+
+    results = ScenePipeline(read_fn, compute_fn, write_fn).run(["1", "2", "3"])
+    assert len(results) == 3 and all(r.error is None for r in results)
+    assert written == {"1": 2, "2": 4, "3": 6}
+    assert all("compute_s" in r.timings for r in results)
+
+
+def test_pipeline_overlaps_stages():
+    """Reader of scene N+1 must run while compute of scene N is in flight."""
+    events = []
+    lock = threading.Lock()
+
+    def read_fn(name):
+        with lock:
+            events.append(f"read_start_{name}")
+        time.sleep(0.05)
+        with lock:
+            events.append(f"read_end_{name}")
+        return {}
+
+    def compute_fn(payload):
+        time.sleep(0.1)
+        return {}
+
+    t0 = time.time()
+    ScenePipeline(read_fn, compute_fn).run(["a", "b", "c"])
+    wall = time.time() - t0
+    # Sequential would be 3 * (0.05 + 0.1) = 0.45s; pipelined ~ 0.05 + 3*0.1.
+    assert wall < 0.42, wall
+    # Second read started before... (it must appear before the last compute ends
+    # by construction of the bound): all reads complete within the first
+    # compute windows.
+    assert events.index("read_end_b") < len(events)
+
+
+def test_pipeline_error_isolation():
+    def read_fn(name):
+        if name == "bad":
+            raise IOError("corrupt granule")
+        return {"v": 1}
+
+    results = ScenePipeline(read_fn, lambda p: {"o": p["v"]}).run(["ok1", "bad", "ok2"])
+    by_name = {r.name: r for r in results}
+    assert by_name["bad"].error and "corrupt" in by_name["bad"].error
+    assert by_name["ok1"].error is None and by_name["ok2"].error is None
+
+
+def test_emit_serving_pipeline_end_to_end(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+
+    # two fake granules
+    rng = np.random.default_rng(0)
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    fwhm = np.full_like(wl, 8.5)
+    paths = []
+    for i in range(2):
+        scene = synthetic_scene(np.random.default_rng(i), 64, 48, n_plumes=1)
+        cube = rng.uniform(1, 8, size=(64, 48, len(wl))).astype(np.float32)
+        swir = (wl >= 2122) & (wl <= 2488)
+        idx = np.linspace(0, scene["radiance"].shape[-1] - 1, swir.sum()).astype(int)
+        cube[..., swir] = scene["radiance"][..., idx]
+        path = tmp_path / f"EMIT_fake_{i}.nc"
+        with h5py.File(path, "w") as f:
+            d = f.create_dataset("radiance", data=cube)
+            d.attrs["_FillValue"] = [-9999.0]
+            g = f.create_group("sensor_band_parameters")
+            g.create_dataset("wavelengths", data=wl)
+            g.create_dataset("fwhm", data=fwhm)
+        paths.append(str(path))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+
+    out_dir = tmp_path / "out"
+    pipeline = emit_serving_pipeline(
+        lambda x: model.apply(variables, x, train=False),
+        str(out_dir),
+        column_step=16,
+        num_iter=3,
+    )
+    results = pipeline.run(paths)
+    assert len(results) == 2 and all(r.error is None for r in results)
+    for p in paths:
+        base = out_dir / os.path.splitext(os.path.basename(p))[0]
+        pred = np.load(base / "prediction.npy")
+        mag1c = np.load(base / "mag1c.npy")
+        assert pred.shape == (64, 48) and mag1c.shape == (64, 48)
+        assert np.all((pred >= 0) & (pred <= 1))
