@@ -100,10 +100,22 @@ def main(argv=None):
 
     state = None
     if cfg.model.train:
+        resume_path = None
+        if cfg.resume_from_checkpoint:
+            # resume from the newest best/final checkpoint under experiments/{name}
+            import glob
+
+            candidates = sorted(
+                glob.glob(os.path.join("experiments", cfg.experiment_name, "*", "*.npz"))
+            )
+            if candidates:
+                resume_path = candidates[-1]
+                logger.info("resuming from %s", resume_path)
         state = trainer.fit(
             lambda: iter(dm.train_loader()),
             lambda: iter(dm.test_loader(batch_size=cfg.dataloader.batch_size)),
             rng=jax.random.PRNGKey(cfg.seed),
+            resume_from=resume_path,
         )
         save_checkpoint(exp_dir, state, name="final_checkpoint_model", extra={"config": cfg.to_dict()})
         with open(os.path.join(exp_dir, "history.json"), "w") as fh:

@@ -275,3 +275,25 @@ def test_run_mag1c_scene_band_masking():
     mf, alb = run_mag1c_scene(cube, wl, fwhm, glt_samples=glt, num_iter=2)
     assert mf.shape == (24, 16)
     assert np.isfinite(mf).all()
+
+
+def test_mosaic_labels():
+    from starcop_tpu.data.labels import mosaic_labels
+
+    r1 = np.ones((4, 4), np.float32)
+    r2 = np.full((3, 3), 2.0, np.float32)
+    wins = [
+        {"window_row_off": 1, "window_col_off": 1},
+        {"window_row_off": 3, "window_col_off": 3},  # overlaps r1's corner
+    ]
+    out = mosaic_labels((8, 8), wins, [r1, r2])
+    assert out.shape == (8, 8)
+    assert out[1, 1] == 1.0 and out[3, 3] == 2.0  # max-merge on overlap
+    assert out[0, 0] == 0.0
+    # negative offsets clip
+    out2 = mosaic_labels((8, 8), [{"window_row_off": -2, "window_col_off": -2}], [r1])
+    assert out2[0, 0] == 1.0 and out2[2, 2] == 0.0
+    # RGBA channels
+    rgba = np.ones((4, 3, 3), np.float32)
+    out3 = mosaic_labels((6, 6), [{"window_row_off": 0, "window_col_off": 0}], [rgba])
+    assert out3.shape == (4, 6, 6)
