@@ -22,6 +22,14 @@ import time
 import numpy as np
 
 
+def _resolve_dtype(name: str):
+    if not name or name == "float32":
+        return None
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": None}[name]
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     logger = logging.getLogger("starcop_tpu.cli.train")
@@ -75,6 +83,7 @@ def main(argv=None):
         pos_weight=cfg.model.pos_weight,
         use_weight_loss=cfg.dataset.use_weight_loss,
         loss_name=cfg.model.loss,
+        model_dtype=_resolve_dtype(cfg.model.dtype),
     )
 
     from starcop_tpu.train.logging import make_logger

@@ -62,6 +62,7 @@ class ModelConfig:
     lr_patience: int = 4
     loss: str = "BCEWithLogitsLoss"
     pos_weight: float = 15.0
+    dtype: str = "float32"  # compute dtype: float32 | bfloat16 (params stay f32)
     early_stopping_patience: int = 8
     model_folder: str = ""
 

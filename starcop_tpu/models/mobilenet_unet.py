@@ -55,6 +55,7 @@ class ConvBNReLU(nn.Module):
     kernel: int = 3
     stride: int = 1
     groups: int = 1
+    dtype: Any = None  # compute dtype (params stay f32); None = f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -65,9 +66,11 @@ class ConvBNReLU(nn.Module):
             padding=[(self.kernel // 2, self.kernel // 2)] * 2,
             feature_group_count=self.groups,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
         return relu6(x)
 
 
@@ -77,6 +80,7 @@ class InvertedResidual(nn.Module):
     out_features: int
     stride: int
     expand_ratio: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -85,10 +89,12 @@ class InvertedResidual(nn.Module):
         use_res = self.stride == 1 and in_features == self.out_features
         h = x
         if self.expand_ratio != 1:
-            h = ConvBNReLU(hidden, kernel=1, name="expand")(h, train)
-        h = ConvBNReLU(hidden, kernel=3, stride=self.stride, groups=hidden, name="depthwise")(h, train)
-        h = nn.Conv(self.out_features, (1, 1), use_bias=False, name="project")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="project_bn")(h)
+            h = ConvBNReLU(hidden, kernel=1, dtype=self.dtype, name="expand")(h, train)
+        h = ConvBNReLU(hidden, kernel=3, stride=self.stride, groups=hidden,
+                       dtype=self.dtype, name="depthwise")(h, train)
+        h = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype, name="project")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="project_bn")(h)
         return x + h if use_res else h
 
 
@@ -96,6 +102,7 @@ class MobileNetV2Encoder(nn.Module):
     """Feature extractor emitting the 5 U-Net skip/head tensors."""
 
     width_mult: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,7 +110,7 @@ class MobileNetV2Encoder(nn.Module):
         stage_splits = set(_STAGE_SPLITS)
         idx = 0
 
-        h = ConvBNReLU(32, kernel=3, stride=2, name=f"features_{idx}")(x, train)
+        h = ConvBNReLU(32, kernel=3, stride=2, dtype=self.dtype, name=f"features_{idx}")(x, train)
         idx += 1
 
         for t, c, n, s in _INVERTED_RESIDUAL_CFG:
@@ -111,11 +118,12 @@ class MobileNetV2Encoder(nn.Module):
                 if idx in stage_splits:
                     features.append(h)
                 h = InvertedResidual(
-                    c, stride=s if i == 0 else 1, expand_ratio=t, name=f"features_{idx}"
+                    c, stride=s if i == 0 else 1, expand_ratio=t, dtype=self.dtype,
+                    name=f"features_{idx}"
                 )(h, train)
                 idx += 1
 
-        h = ConvBNReLU(1280, kernel=1, name=f"features_{idx}")(h, train)
+        h = ConvBNReLU(1280, kernel=1, dtype=self.dtype, name=f"features_{idx}")(h, train)
         features.append(h)
         return features  # [16@s2, 24@s4, 32@s8, 96@s16, 1280@s32]
 
@@ -124,25 +132,29 @@ class Conv2dReLU(nn.Module):
     """conv3x3 -> BN -> ReLU (smp decoder building block)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
 class DecoderBlock(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
-        x = Conv2dReLU(self.features, name="conv1")(x, train)
-        x = Conv2dReLU(self.features, name="conv2")(x, train)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = Conv2dReLU(self.features, dtype=self.dtype, name="conv1")(x, train)
+        x = Conv2dReLU(self.features, dtype=self.dtype, name="conv2")(x, train)
         return x
 
 
@@ -156,13 +168,18 @@ class MobileNetV2UNet(nn.Module):
 
     num_classes: int = 1
     decoder_channels: Sequence[int] = DECODER_CHANNELS
+    dtype: Any = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feats = MobileNetV2Encoder(name="encoder")(x, train)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        feats = MobileNetV2Encoder(dtype=self.dtype, name="encoder")(x, train)
         skips = feats[:-1][::-1]  # [96@s16, 32@s8, 24@s4, 16@s2]
         h = feats[-1]
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            h = DecoderBlock(ch, name=f"decoder_{i}")(h, skip, train)
-        return nn.Conv(self.num_classes, (3, 3), padding="SAME", name="segmentation_head")(h)
+            h = DecoderBlock(ch, dtype=self.dtype, name=f"decoder_{i}")(h, skip, train)
+        logits = nn.Conv(self.num_classes, (3, 3), padding="SAME",
+                         dtype=self.dtype, name="segmentation_head")(h)
+        return logits.astype(jnp.float32)

@@ -60,23 +60,25 @@ def weighted_bce_with_logits(
 
 
 ARCHITECTURES: Dict[str, Callable[..., nn.Module]] = {
-    "unet_semseg": lambda num_classes, settings=None: MobileNetV2UNet(num_classes=num_classes),
-    "unet": lambda num_classes, settings=None: UNet(out_channels=num_classes),
-    "unet_dropout": lambda num_classes, settings=None: UNetDropout(out_channels=num_classes),
-    "cnn": lambda num_classes, settings=None: SimpleCNN(out_channels=num_classes),
-    "single": lambda num_classes, settings=None: SingleConv(out_channels=num_classes),
-    "cnn_regression": lambda num_classes, settings=None: SimpleCNNRegression(out_channels=num_classes),
+    "unet_semseg": lambda num_classes, settings=None, dtype=None: MobileNetV2UNet(num_classes=num_classes, dtype=dtype),
+    "unet": lambda num_classes, settings=None, dtype=None: UNet(out_channels=num_classes),
+    "unet_dropout": lambda num_classes, settings=None, dtype=None: UNetDropout(out_channels=num_classes),
+    "cnn": lambda num_classes, settings=None, dtype=None: SimpleCNN(out_channels=num_classes),
+    "single": lambda num_classes, settings=None, dtype=None: SingleConv(out_channels=num_classes),
+    "cnn_regression": lambda num_classes, settings=None, dtype=None: SimpleCNNRegression(out_channels=num_classes),
 }
 
 
-def configure_architecture(architecture: str, num_classes: int, settings=None) -> nn.Module:
+def configure_architecture(architecture: str, num_classes: int, settings=None, dtype=None) -> nn.Module:
     """Architecture factory (reference: model_module.py:224-256).
 
     'unet_semseg' is the flagship (MobileNetV2-encoder U-Net, logits output).
+    ``dtype`` selects the compute precision (e.g. jnp.bfloat16 for
+    mixed-precision training; params and the loss stay float32).
     """
     if architecture not in ARCHITECTURES:
         raise ValueError(f"No model implemented for model_type: {architecture}")
-    return ARCHITECTURES[architecture](num_classes, settings)
+    return ARCHITECTURES[architecture](num_classes, settings, dtype=dtype)
 
 
 class SegmentationModel:
@@ -96,11 +98,12 @@ class SegmentationModel:
         pos_weight: float = 1.0,
         use_weight_loss: bool = True,
         loss_name: str = "BCEWithLogitsLoss",
+        model_dtype=None,
     ):
         self.input_products = list(input_products)
         self.output_products = list(output_products)
         self.normalizer = DataNormalizer(input_products, output_products)
-        self.network = configure_architecture(model_type, num_classes)
+        self.network = configure_architecture(model_type, num_classes, dtype=model_dtype)
         self.model_type = model_type
         self.num_classes = num_classes
         self.pos_weight = float(pos_weight)

@@ -203,3 +203,23 @@ def test_padded_apply_model():
     scene = jnp.asarray(np.random.default_rng(6).normal(size=(2, 70, 45)), jnp.float32)
     out = padded_apply(scene, fn, divisor=32)
     assert out.shape == (1, 70, 45)
+
+
+def test_mobilenet_unet_bf16_compute():
+    """Mixed precision: bf16 compute, f32 params/logits, finite gradients."""
+    model = MobileNetV2UNet(num_classes=1, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.leaves(variables["params"])[0].dtype == jnp.float32
+    out = model.apply(variables, x, train=False)
+    assert out.dtype == jnp.float32
+
+    def loss(params):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return jnp.mean(logits**2)
+
+    grads = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
