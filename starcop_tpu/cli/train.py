@@ -22,14 +22,6 @@ import time
 import numpy as np
 
 
-def _resolve_dtype(name: str):
-    if not name or name == "float32":
-        return None
-    import jax.numpy as jnp
-
-    return {"bfloat16": jnp.bfloat16, "float32": None}[name]
-
-
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
     logger = logging.getLogger("starcop_tpu.cli.train")
@@ -55,7 +47,6 @@ def main(argv=None):
 
     from starcop_tpu.data.datamodule import DataModule
     from starcop_tpu.eval.validation import run_validation
-    from starcop_tpu.models import SegmentationModel
     from starcop_tpu.train import Trainer, save_checkpoint
 
     np.random.seed(cfg.seed)
@@ -75,16 +66,9 @@ def main(argv=None):
         seed=cfg.seed,
     )
 
-    model = SegmentationModel(
-        cfg.dataset.input_products,
-        cfg.dataset.output_products,
-        model_type=cfg.model.model_type,
-        num_classes=cfg.model.num_classes,
-        pos_weight=cfg.model.pos_weight,
-        use_weight_loss=cfg.dataset.use_weight_loss,
-        loss_name=cfg.model.loss,
-        model_dtype=_resolve_dtype(cfg.model.dtype),
-    )
+    from starcop_tpu.setup_shims import get_model
+
+    model = get_model(cfg)
 
     from starcop_tpu.train.logging import make_logger
 

@@ -63,6 +63,18 @@ class ModelConfig:
     loss: str = "BCEWithLogitsLoss"
     pos_weight: float = 15.0
     dtype: str = "float32"  # compute dtype: float32 | bfloat16 (params stay f32)
+
+    def resolve_dtype(self):
+        """Map the dtype string to a jax dtype (None = default float32)."""
+        if self.dtype in ("", "float32"):
+            return None
+        if self.dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            return jnp.bfloat16
+        raise ValueError(
+            f"model.dtype must be 'float32' or 'bfloat16', got {self.dtype!r}"
+        )
     early_stopping_patience: int = 8
     model_folder: str = ""
 

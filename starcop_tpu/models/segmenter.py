@@ -78,6 +78,13 @@ def configure_architecture(architecture: str, num_classes: int, settings=None, d
     """
     if architecture not in ARCHITECTURES:
         raise ValueError(f"No model implemented for model_type: {architecture}")
+    if dtype is not None and architecture != "unet_semseg":
+        import warnings
+
+        warnings.warn(
+            f"model dtype={dtype} is only plumbed through 'unet_semseg'; "
+            f"'{architecture}' will compute in float32"
+        )
     return ARCHITECTURES[architecture](num_classes, settings, dtype=dtype)
 
 

@@ -15,14 +15,6 @@ from typing import Optional, Union
 from starcop_tpu.config import Config
 
 
-def _resolve_dtype(name: str):
-    if not name or name == "float32":
-        return None
-    import jax.numpy as jnp
-
-    return {"bfloat16": jnp.bfloat16, "float32": None}[name]
-
-
 def get_dataset(cfg: Config):
     from starcop_tpu.data.datamodule import DataModule
 
@@ -57,7 +49,7 @@ def get_model(cfg: Config, name: Optional[str] = None):
             pos_weight=cfg.model.pos_weight,
             use_weight_loss=cfg.dataset.use_weight_loss,
             loss_name=cfg.model.loss,
-            model_dtype=_resolve_dtype(cfg.model.dtype),
+            model_dtype=cfg.model.resolve_dtype(),
         )
     elif cfg.model.model_mode == "regression_output":
         from starcop_tpu.models.regression import RegressionModel

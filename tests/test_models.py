@@ -210,7 +210,7 @@ def test_mobilenet_unet_bf16_compute():
     model = MobileNetV2UNet(num_classes=1, dtype=jnp.bfloat16)
     x = jnp.ones((1, 32, 32, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    assert jax.tree.leaves(variables["params"])[0].dtype == jnp.float32
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(variables["params"]))
     out = model.apply(variables, x, train=False)
     assert out.dtype == jnp.float32
 
