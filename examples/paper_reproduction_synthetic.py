@@ -53,8 +53,8 @@ def main(out_dir=None, n_train=12, n_test=6, epochs=12):
     trainer = Trainer(model, learning_rate=1e-3, max_epochs=epochs, val_check_interval=1.0)
     print("training HyperSTARCOP...")
     state = trainer.fit(
-        lambda: iter(dm.train_loader()),
-        lambda: iter(dm.test_loader(batch_size=8)),
+        lambda: dm.train_loader(),
+        lambda: dm.test_loader(batch_size=8),
         rng=jax.random.PRNGKey(0),
     )
 

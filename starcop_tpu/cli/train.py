@@ -105,8 +105,8 @@ def main(argv=None):
                 resume_path = candidates[-1]
                 logger.info("resuming from %s", resume_path)
         state = trainer.fit(
-            lambda: iter(dm.train_loader()),
-            lambda: iter(dm.test_loader(batch_size=cfg.dataloader.batch_size)),
+            lambda: dm.train_loader(),
+            lambda: dm.test_loader(batch_size=cfg.dataloader.batch_size),
             rng=jax.random.PRNGKey(cfg.seed),
             resume_from=resume_path,
         )

@@ -143,10 +143,19 @@ class BatchLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         if self.num_workers > 0:
+            # Bounded look-ahead: keep ~2x num_workers collations in flight so
+            # reads overlap compute without buffering the whole epoch in RAM.
+            import collections
+
+            window = 2 * self.num_workers
             with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._collate, b) for b in batches]
-                for f in futures:
-                    yield f.result()
+                inflight = collections.deque()
+                for b in batches:
+                    inflight.append(pool.submit(self._collate, b))
+                    if len(inflight) > window:
+                        yield inflight.popleft().result()
+                while inflight:
+                    yield inflight.popleft().result()
         else:
             for b in batches:
                 yield self._collate(b)

@@ -236,12 +236,24 @@ class Trainer:
         for epoch in range(self.max_epochs):
             t0 = time.time()
             losses = []
-            batches = list(train_batches())
+            batches = train_batches()
+            # Mid-epoch validation points need the epoch length; loaders expose
+            # len(). Unsized iterables validate at epoch end only (never
+            # materialize the whole epoch in memory).
             val_points = max(1, int(round(1.0 / max(self.val_check_interval, 1e-6))))
-            val_at = {
-                int((i + 1) * len(batches) / val_points) - 1 for i in range(val_points)
-            }
+            try:
+                n_batches = len(batches)  # type: ignore[arg-type]
+            except TypeError:
+                n_batches = None
+            if n_batches:
+                val_at = {
+                    int((i + 1) * n_batches / val_points) - 1 for i in range(val_points)
+                }
+            else:
+                val_at = set()
+            last_i = -1
             for i, batch in enumerate(batches):
+                last_i = i
                 sharded = shard_batch(self.mesh, _numeric_arrays(batch))
                 lr = jnp.asarray(base_lr * self.scheduler.scale, jnp.float32)
                 state, loss = self._train_step(state, sharded, lr)
@@ -257,6 +269,13 @@ class Trainer:
                     if self.early_stopping.should_stop:
                         logger.info("Early stopping at epoch %d", epoch)
                         return state
+            if not val_at and last_i >= 0:
+                # Unsized epoch: validate once at epoch end.
+                val_metrics = self.validate(state, val_batches)
+                self._on_validation(state, epoch, val_metrics)
+                if self.early_stopping.should_stop:
+                    logger.info("Early stopping at epoch %d", epoch)
+                    return state
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
             logger.info("epoch %d done: train_loss %.5f (%.1fs)", epoch, epoch_loss, time.time() - t0)
             for cb in self.callbacks:
