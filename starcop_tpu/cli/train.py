@@ -77,6 +77,20 @@ def main(argv=None):
         wandb_entity=cfg.wandb.entity, config=cfg.to_dict(),
     )
 
+    callbacks = []
+    if cfg.wandb.images_logging and cfg.products_plot:
+        # Epoch-end image grids on one fixed test batch (reference ImageLogger).
+        from starcop_tpu.eval.plot import ImageLogger
+
+        try:
+            fixed_batch = next(iter(dm.test_loader(batch_size=min(cfg.plot_samples, 8))))
+            callbacks.append(
+                ImageLogger(model, fixed_batch, cfg.dataset.input_products,
+                            cfg.products_plot, os.path.join(exp_dir, "images"))
+            )
+        except StopIteration:
+            pass
+
     trainer = Trainer(
         model,
         learning_rate=cfg.model.lr,
@@ -89,6 +103,7 @@ def main(argv=None):
         checkpoint_dir=exp_dir,
         log_every_n_steps=cfg.training.train_log_every_n_steps,
         metric_logger=metric_logger,
+        callbacks=callbacks,
     )
 
     state = None

@@ -141,9 +141,12 @@ class EMITEvalDataset:
 
 
 def load_emit_folder_dataset(root: str) -> EMITEvalDataset:
-    """Scan plume_events/ + confounders/ folders for per-scene npy products
-    (mag1c.npy, rgb.npy, label.npy) — the framework-native materialization of
-    the reference's ENVI-pair layout (emit_as_datamodule.py:27-116)."""
+    """Scan plume_events/ + confounders/ folders for per-scene products.
+
+    Supports the framework-native npy layout (mag1c.npy, rgb.npy, label.npy)
+    and the reference's ENVI-pair layout (``*_magic`` + ``*_RGB`` raw files
+    with .hdr headers, plus label.tif/label_released.tif — reference
+    emit_as_datamodule.py:27-116, emit_data_utils.py:6-78)."""
     mags, rgbs, labels, ids = [], [], [], []
     for sub in ("plume_events", "confounders"):
         folder = os.path.join(root, sub)
@@ -151,15 +154,56 @@ def load_emit_folder_dataset(root: str) -> EMITEvalDataset:
             continue
         for name in sorted(os.listdir(folder)):
             scene_dir = os.path.join(folder, name)
-            mag_p = os.path.join(scene_dir, "mag1c.npy")
-            rgb_p = os.path.join(scene_dir, "rgb.npy")
-            if not (os.path.exists(mag_p) and os.path.exists(rgb_p)):
+            if not os.path.isdir(scene_dir):
                 continue
-            mags.append(np.load(mag_p))
-            rgbs.append(np.load(rgb_p))
-            label_p = os.path.join(scene_dir, "label.npy")
+            loaded = _load_scene_products(scene_dir)
+            if loaded is None:
+                continue
+            mag, rgb, label = loaded
+            mags.append(mag)
+            rgbs.append(rgb)
             labels.append(
-                np.load(label_p) if os.path.exists(label_p) else np.zeros(mags[-1].shape, np.float32)
+                label if label is not None else np.zeros(mag.shape, np.float32)
             )
             ids.append(f"{sub}/{name}")
     return EMITEvalDataset(mags, rgbs, labels, ids)
+
+
+def _load_scene_products(scene_dir: str):
+    """One scene's (mag1c, rgb(H,W,3), label or None) from npy or ENVI pairs."""
+    mag_p = os.path.join(scene_dir, "mag1c.npy")
+    rgb_p = os.path.join(scene_dir, "rgb.npy")
+    if os.path.exists(mag_p) and os.path.exists(rgb_p):
+        label_p = os.path.join(scene_dir, "label.npy")
+        label = np.load(label_p) if os.path.exists(label_p) else None
+        return np.load(mag_p), np.load(rgb_p), label
+
+    # Reference ENVI layout: *_magic + *_RGB raw pairs (with .hdr).
+    names = os.listdir(scene_dir)
+    magic = [n for n in names if n.endswith("_magic")]
+    rgb = [n for n in names if n.endswith("_RGB")]
+    if not (magic and rgb):
+        return None
+    from starcop_tpu.data.ingest import ENVIReader
+
+    mag = ENVIReader(os.path.join(scene_dir, magic[0])).read_all()[..., 0]
+    rgb_arr = ENVIReader(os.path.join(scene_dir, rgb[0])).read_all()
+    label = None
+    for cand in ("label.npy", "label_released.npy"):
+        p = os.path.join(scene_dir, cand)
+        if os.path.exists(p):
+            label = np.load(p)
+            break
+    if label is None:
+        for cand in ("label.tif", "label_released.tif"):
+            p = os.path.join(scene_dir, cand)
+            if os.path.exists(p):
+                try:
+                    import rasterio
+
+                    with rasterio.open(p) as src:
+                        label = src.read(1)
+                except ImportError:
+                    pass
+                break
+    return mag, rgb_arr, label

@@ -26,6 +26,8 @@ import json
 import os
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from starcop_tpu.eval import metrics as sm
@@ -34,6 +36,27 @@ DEFAULT_THRESHOLDS: List[float] = sorted(
     [0.0, 1e-3, 1e-2] + list(np.arange(0.5, 0.96, 0.05)) + [0.99, 0.995, 0.999],
     reverse=True,
 )
+
+
+@jax.jit
+def _threshold_sweep_cms(prediction, y, valid, thresholds):
+    """All-threshold confusion matrices in one device program.
+
+    prediction/y/valid: (H, W)-ish arrays; thresholds: (T,). Returns (T, 2, 2).
+    Replaces the reference's per-threshold Python loop (validation.py:118-125)
+    for models without a custom apply_threshold.
+    """
+    p = prediction.reshape(-1)
+    t = y.reshape(-1).astype(jnp.int32)
+    v = valid.reshape(-1)
+    pb = (p[None, :] > thresholds[:, None]).astype(jnp.int32)  # (T, N)
+    tp = jnp.sum(v[None, :] & (pb == 1) & (t[None, :] == 1), axis=1)
+    tn = jnp.sum(v[None, :] & (pb == 0) & (t[None, :] == 0), axis=1)
+    fp = jnp.sum(v[None, :] & (pb == 1) & (t[None, :] == 0), axis=1)
+    fn = jnp.sum(v[None, :] & (pb == 0) & (t[None, :] == 1), axis=1)
+    return jnp.stack(
+        [jnp.stack([tn, fp], axis=1), jnp.stack([fn, tp], axis=1)], axis=1
+    )  # (T, 2, 2)
 
 
 def run_validation(
@@ -101,14 +124,25 @@ def run_validation(
             row["pred_pixels_plume"] = int(pred_binary[i].sum())
             out_data.append(row)
 
-            for thr in thresholds:
-                if apply_threshold is not None:
+            if apply_threshold is not None:
+                # Baselines thread morphology through their thresholding.
+                for thr in thresholds:
                     pb = np.asarray(apply_threshold(prediction[i : i + 1], thr))[0]
-                else:
-                    pb = (prediction[i] > thr).astype(np.int64)
-                cm_thresholds[thr] += np.asarray(
-                    sm.masked_confusion_matrix(pb, y_long[i], valid[i])
-                ).astype(np.int64)
+                    cm_thresholds[thr] += np.asarray(
+                        sm.masked_confusion_matrix(pb, y_long[i], valid[i])
+                    ).astype(np.int64)
+            else:
+                sweep = np.asarray(
+                    _threshold_sweep_cms(
+                        jnp.asarray(prediction[i]),
+                        jnp.asarray(y_long[i]),
+                        jnp.asarray(valid[i]),
+                        jnp.asarray(thresholds, jnp.float32),
+                    ),
+                    np.int64,
+                )
+                for k, thr in enumerate(thresholds):
+                    cm_thresholds[thr] += sweep[k]
 
             if plot_fn is not None:
                 plot_fn(enriched, i, row["id"])

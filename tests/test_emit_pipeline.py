@@ -144,3 +144,34 @@ def test_emit_eval_dataset():
     assert item["output"].max() <= 1.0
     assert item["weight_loss"].min() == 1.0
     assert item["id"] == "scene0"
+
+
+def test_load_emit_folder_dataset(tmp_path):
+    from starcop_tpu.data.emit import load_emit_folder_dataset
+
+    rng = np.random.default_rng(0)
+    # scene A: npy layout under plume_events
+    a = tmp_path / "plume_events" / "sceneA"
+    a.mkdir(parents=True)
+    np.save(a / "mag1c.npy", rng.uniform(0, 480, (64, 48)).astype(np.float32))
+    np.save(a / "rgb.npy", rng.uniform(0, 40, (64, 48, 3)).astype(np.float32))
+    np.save(a / "label.npy", (rng.uniform(size=(64, 48)) > 0.97).astype(np.float32))
+    # scene B: ENVI-pair layout under confounders
+    b = tmp_path / "confounders" / "sceneB"
+    b.mkdir(parents=True)
+    mag = rng.uniform(0, 480, (64, 48, 1)).astype(np.float32)
+    rgb = rng.uniform(0, 40, (64, 48, 3)).astype(np.float32)
+    mag.tofile(b / "sceneB_magic")
+    rgb.tofile(b / "sceneB_RGB")
+    for fname, bands in (("sceneB_magic.hdr", 1), ("sceneB_RGB.hdr", 3)):
+        (b / fname).write_text(
+            f"ENVI\nsamples = 48\nlines = 64\nbands = {bands}\nheader offset = 0\n"
+            "data type = 4\ninterleave = bip\nbyte order = 0\n"
+        )
+
+    ds = load_emit_folder_dataset(str(tmp_path))
+    assert len(ds) == 2
+    ids = {item["id"] for item in ds.items}
+    assert ids == {"plume_events/sceneA", "confounders/sceneB"}
+    for item in ds.items:
+        assert item["input"].shape == (4, 64, 32)  # crop x32
