@@ -297,3 +297,48 @@ def test_mosaic_labels():
     rgba = np.ones((4, 3, 3), np.float32)
     out3 = mosaic_labels((6, 6), [{"window_row_off": 0, "window_col_off": 0}], [rgba])
     assert out3.shape == (4, 6, 6)
+
+
+def test_extract_features_lazy(tmp_path):
+    """Feature registry extraction: computes missing products, skips existing."""
+    from starcop_tpu.data.features import FEATURES, extract_features
+
+    rng = np.random.default_rng(0)
+    folder = tmp_path / "tile0"
+    folder.mkdir()
+    np.save(folder / "mag1c.npy", rng.uniform(0, 2000, (64, 64)).astype(np.float32))
+    np.save(folder / "TOA_WV3_SWIR7.npy", rng.uniform(0.1, 1.0, (64, 64)).astype(np.float32))
+    np.save(folder / "TOA_WV3_SWIR5.npy", rng.uniform(0.1, 1.0, (64, 64)).astype(np.float32))
+    rows = [{"folder": str(folder)}]
+
+    written = extract_features(["weight_mag1c", "ratio_wv3_B7_B5_varon21_sum_c_out"], rows)
+    assert written == 2
+    w = np.load(folder / "weight_mag1c.npy")
+    m = np.load(folder / "mag1c.npy")
+    np.testing.assert_allclose(w, np.clip(m / 400.0, 0.1, 1.0), rtol=1e-6)
+    ratio = np.load(folder / "ratio_wv3_B7_B5_varon21_sum_c_out.npy")
+    assert ratio.shape == (64, 64) and np.isfinite(ratio).all()
+    # idempotent second run
+    assert extract_features(["weight_mag1c"], rows) == 0
+    with pytest.raises(KeyError):
+        extract_features(["nope"], rows)
+
+
+def test_evaluate_cli_baseline(tmp_path):
+    from starcop_tpu.cli.evaluate import main as eval_main
+    from starcop_tpu.data.synthetic import write_synthetic_chip_dataset
+
+    rng = np.random.default_rng(0)
+    index = write_synthetic_chip_dataset(str(tmp_path / "chips"), rng, n_tiles=2, size=256)
+    out = tmp_path / "eval"
+    rc = eval_main([
+        "--test-csv", index, "--baseline", "mag1c",
+        "--input-products", "mag1c", "TOA_AVIRIS_640nm",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    assert (out / "results_agg.json").exists()
+    import json as _json
+
+    agg = _json.loads((out / "results_agg.json").read_text())
+    assert "f1score" in agg and len(agg["thresholded"]) > 10
