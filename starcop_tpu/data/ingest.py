@@ -148,6 +148,26 @@ def download_aviris(name: str, index_csv: str, dest_dir: str) -> str:
     return out_dir
 
 
+def png_mask_to_binary(png_path: str, threshold: int = 0) -> np.ndarray:
+    """PNG annotation mask -> (H, W) binary array.
+
+    Reference 4-Corners ingestion converts PNG masks to COGs
+    (process_data_jpl_4corners.py:19-136); here the mask becomes the binary
+    label array directly (any channel > threshold counts as annotated; RGBA
+    alpha is used when present).
+    """
+    from PIL import Image
+
+    img = np.asarray(Image.open(png_path))
+    if img.ndim == 3 and img.shape[-1] == 4:
+        values = img[..., 3]
+    elif img.ndim == 3:
+        values = img.max(axis=-1)
+    else:
+        values = img
+    return (values > threshold).astype(np.float32)
+
+
 def save_scene_bands(cube: np.ndarray, wavelengths: np.ndarray, fwhm: np.ndarray,
                      out_dir: str) -> str:
     """Per-band materialization + metadata.json (reference save_aviris_cog,

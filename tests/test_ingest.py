@@ -81,3 +81,23 @@ def test_save_scene_bands(tmp_path):
 def test_download_gated(tmp_path):
     with pytest.raises(RuntimeError, match="network"):
         ingest.download_product("ftp://invalid.example/file.tar.gz", str(tmp_path))
+
+
+def test_png_mask_to_binary(tmp_path):
+    from PIL import Image
+
+    # RGBA mask: alpha marks annotation
+    rgba = np.zeros((16, 20, 4), np.uint8)
+    rgba[4:8, 5:9, 3] = 255
+    rgba[4:8, 5:9, 0] = 120
+    p = tmp_path / "mask.png"
+    Image.fromarray(rgba).save(p)
+    mask = ingest.png_mask_to_binary(str(p))
+    assert mask.shape == (16, 20)
+    assert mask[5, 6] == 1.0 and mask[0, 0] == 0.0 and mask.sum() == 16
+    # grayscale
+    gray = np.zeros((8, 8), np.uint8)
+    gray[2, 2] = 200
+    p2 = tmp_path / "gray.png"
+    Image.fromarray(gray).save(p2)
+    assert ingest.png_mask_to_binary(str(p2)).sum() == 1
