@@ -109,7 +109,11 @@ def run_mag1c_groups(
     for p_max, members in sorted(by_bucket.items()):
         for start in range(0, len(members), groups_per_batch):
             chunk = members[start : start + groups_per_batch]
-            g = len(chunk)
+            # Pad the batch dimension to groups_per_batch so every bucket size
+            # compiles exactly one program shape (a ragged final chunk would
+            # otherwise trigger a fresh compile); padded rows carry zero
+            # weights and are skipped on scatter.
+            g = groups_per_batch if len(members) > groups_per_batch else len(chunk)
             xb = np.zeros((g, p_max, s), np.float32)
             wb = np.zeros((g, p_max), np.float32)
             for j, gi in enumerate(chunk):

@@ -342,3 +342,67 @@ def test_evaluate_cli_baseline(tmp_path):
 
     agg = _json.loads((out / "results_agg.json").read_text())
     assert "f1score" in agg and len(agg["thresholded"]) > 10
+
+
+def test_run_mag1c_groups_padded_batches():
+    """Many same-bucket groups: ragged final chunk pads to one program shape."""
+    rng = np.random.default_rng(7)
+    scene = synthetic_scene(rng, 24, 30, n_plumes=0)
+    cube, template = scene["radiance"].astype(np.float64), scene["template"]
+    groups = np.broadcast_to(np.arange(30) // 6, (24, 30))  # 5 groups of 6 cols
+    mf, _ = run_mag1c_groups(
+        cube, groups, None, template=template, num_iter=2, alpha=1e-4,
+        groups_per_batch=2, compute_dtype=jnp.float64,  # 5 groups -> chunks 2,2,1
+    )
+    assert mf.shape == (24, 30)
+    assert np.isfinite(mf).all()
+    # parity against one-shot batching
+    mf_all, _ = run_mag1c_groups(
+        cube, groups, None, template=template, num_iter=2, alpha=1e-4,
+        groups_per_batch=64, compute_dtype=jnp.float64,
+    )
+    np.testing.assert_allclose(mf, mf_all, rtol=1e-8)
+
+
+def test_infer_emit_cli(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    import jax
+
+    from starcop_tpu.cli.infer_emit import main as infer_main
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.train import create_train_state, save_checkpoint
+
+    # fake granule
+    rng = np.random.default_rng(0)
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    scene = synthetic_scene(np.random.default_rng(0), 64, 48, n_plumes=1)
+    cube = rng.uniform(1, 8, size=(64, 48, len(wl))).astype(np.float32)
+    swir = (wl >= 2122) & (wl <= 2488)
+    idx = np.linspace(0, scene["radiance"].shape[-1] - 1, swir.sum()).astype(int)
+    cube[..., swir] = scene["radiance"][..., idx]
+    granule = tmp_path / "EMIT_fake.nc"
+    with h5py.File(granule, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    # npz checkpoint for the flagship model
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="unet_semseg",
+    )
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, 32, 32), jnp.float32),
+    )
+    ckpt = save_checkpoint(str(tmp_path), state, name="best")
+
+    out = tmp_path / "out"
+    rc = infer_main([str(granule), "--checkpoint", ckpt, "--output", str(out),
+                     "--column-step", "16", "--num-iter", "3"])
+    assert rc == 0
+    pred = np.load(out / "prediction.npy")
+    assert pred.shape == (64, 48) and np.all((pred >= 0) & (pred <= 1))
+    assert (out / "mag1c.npy").exists()
