@@ -104,6 +104,37 @@ def main(argv=None):
     t = _timed(run_scene)
     results.append({"metric": "unet_scene_forward_ms", "value": round(t * 1e3, 1), "unit": "ms"})
 
+    # ---- raw granule -> plume mask, end to end (mag1c + renorm + U-Net) ---
+    from starcop_tpu.data.emit import renormalize_emit_to_aviris
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.ops.mag1c import NODATA, mag1c_column_blocks
+
+    centers = np.arange(2122.0, 2488.0, 7.4)
+    template = generate_template_from_bands(centers, np.full_like(centers, 8.0))[:, 1]
+    h_s, w_s = (640, 624) if args.quick else (1280, 1242)
+    emit = synthetic_scene(np.random.default_rng(1), h_s, w_s, n_plumes=4, template=template)
+    cube_d = jnp.asarray(emit["radiance"])
+    rgb_d = np.moveaxis(emit["rgb"], -1, 0)
+    tpl_d = jnp.asarray(template, jnp.float32)
+
+    from starcop_tpu.scenes.emit_pipeline import emit_granule_to_mask
+
+    rgb_dev = jnp.asarray(rgb_d)
+
+    granule_fused = jax.jit(
+        lambda c, r: emit_granule_to_mask(
+            c, r, tpl_d, lambda b: model.apply(variables, b, train=False)
+        )
+    )
+
+    def run_granule():
+        pred, mf = granule_fused(cube_d, rgb_dev)
+        return float(jnp.sum(pred))
+
+    t = _timed(run_granule)
+    results.append({"metric": "emit_granule_to_mask_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+
     for r in results:
         print(json.dumps(r))
     return 0

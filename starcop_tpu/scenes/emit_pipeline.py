@@ -82,6 +82,59 @@ def emit_mag1c(
     return np.asarray(mf, np.float32), np.asarray(albedo, np.float32)
 
 
+def emit_granule_to_mask(
+    cube: jax.Array,
+    rgb_chw: jax.Array,
+    template: jax.Array,
+    model_apply: Callable[[jax.Array], jax.Array],
+    *,
+    column_step: int = 54,
+    num_iter: int = 30,
+    alpha: float = 1e-4,
+    valid_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Device-resident raw-granule -> plume-mask path (no host round trips).
+
+    The step-by-step pipeline (emit_inference) materializes the matched filter
+    on host between stages; under a remote-TPU tunnel those transfers dominate
+    end-to-end latency (measured ~6x the compute). This variant chains matched
+    filter -> EMIT->AVIRIS renormalization -> reflect-padded U-Net forward as
+    device ops: one upload (cube + rgb), one download (mask).
+
+    Wrap the call in jax.jit (closing over template and model_apply) so the
+    whole path compiles to ONE program — eager per-op dispatch through a
+    remote tunnel costs ~1s/scene:
+
+        fused = jax.jit(lambda c, r: emit_granule_to_mask(c, r, tpl, apply_fn))
+
+    Args:
+        cube: (H, W, S) radiance already band-selected to the filter window.
+        rgb_chw: (3, H, W) radiance at the RGB picks.
+        template: (S,) target spectrum.
+        model_apply: (1, 4, H', W') normalized input -> (1, 1, H', W') logits.
+
+    Returns:
+        (prediction sigmoid (H, W), mf (H, W)) as device arrays.
+    """
+    from starcop_tpu.data.emit import MAGIC_DIV_BY, MAGIC_MULT_BY, RGB_DIV_BY, RGB_MULT_BY
+    from starcop_tpu.ops.padding import padded_apply
+
+    mf, _ = mag1c_column_blocks(
+        cube, template, valid_mask, column_step=column_step, num_iter=num_iter, alpha=alpha
+    )
+    mf_clean = jnp.where(mf == NODATA, 0.0, mf)
+    m_n = jnp.clip(mf_clean / MAGIC_DIV_BY, 0, 2) * MAGIC_MULT_BY
+    rgb_n = jnp.clip(jnp.asarray(rgb_chw) / RGB_DIV_BY, 0, 2) * RGB_MULT_BY
+    model_input = jnp.concatenate([m_n[None], rgb_n])
+
+    pred = padded_apply(
+        model_input, lambda b: jax.nn.sigmoid(model_apply(b)), divisor=32
+    )
+    if pred.ndim == 3:
+        pred = pred[0]
+    return pred, mf
+
+
 def emit_inference(
     scene: EMITRawScene,
     model_apply: Callable[[jax.Array], jax.Array],

@@ -146,10 +146,13 @@ def emit_serving_pipeline(
     import jax
     import jax.numpy as jnp
 
-    from starcop_tpu.data.emit import EMITRawScene, renormalize_emit_to_aviris
-    from starcop_tpu.ops.mag1c import NODATA
-    from starcop_tpu.ops.padding import padded_apply
-    from starcop_tpu.scenes.emit_pipeline import emit_mag1c
+    from starcop_tpu.data.emit import EMITRawScene
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.scenes.emit_pipeline import emit_granule_to_mask
+
+    # One fused jitted program per (template, shape); granules from the same
+    # sensor share shapes, so the cache hits after the first scene.
+    fused_cache: Dict = {}
 
     def read_fn(path: str) -> Dict:
         scene = EMITRawScene(path)
@@ -167,17 +170,24 @@ def emit_serving_pipeline(
         return payload
 
     def compute_fn(payload: Dict) -> Dict:
-        mf, albedo = emit_mag1c(
-            payload["cube"], payload["wavelengths"], payload["fwhm"],
-            ~payload["invalid"], column_step=column_step, num_iter=num_iter,
+        wl = payload["wavelengths"]
+        key = (payload["cube"].shape, round(float(wl[0]), 3), round(float(wl[-1]), 3))
+        if key not in fused_cache:
+            template = generate_template_from_bands(wl, payload["fwhm"])[:, 1]
+            tpl_dev = jnp.asarray(template, jnp.float32)
+            fused_cache[key] = jax.jit(
+                lambda c, r, v: emit_granule_to_mask(
+                    c, r, tpl_dev, model_apply,
+                    column_step=column_step, num_iter=num_iter, valid_mask=v,
+                )
+            )
+        pred_d, mf_d = fused_cache[key](
+            jnp.asarray(payload["cube"]),
+            jnp.asarray(np.moveaxis(payload["rgb"], -1, 0)),
+            jnp.asarray(~payload["invalid"]),
         )
-        mf_in = np.where(mf == NODATA, 0.0, mf)
-        m_n, rgb_n = renormalize_emit_to_aviris(mf_in, np.moveaxis(payload["rgb"], -1, 0))
-        model_input = jnp.asarray(np.concatenate([m_n[None], rgb_n]))
-        pred = np.asarray(padded_apply(model_input, lambda b: jax.nn.sigmoid(model_apply(b))))
-        if pred.ndim == 3:
-            pred = pred[0]
-        out = {"mag1c": mf, "albedo": albedo, "prediction": pred}
+        pred, mf = np.asarray(pred_d), np.asarray(mf_d)
+        out = {"mag1c": mf, "prediction": pred}
         if payload["glt"] is not None:
             glt_x, glt_y, fill = payload["glt"]
             valid = (glt_x > 0) & (glt_y > 0)
