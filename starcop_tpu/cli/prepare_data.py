@@ -101,7 +101,7 @@ def main(argv=None):
             s = synthetic_scene(rng, 1024, 640, n_plumes=int(rng.integers(0, 4)))
             rgba = np.zeros((4,) + s["label"].shape, np.float32)
             rgba[3] = s["label"]
-            scenes.append((f"synth{i:03d}", s["radiance"], centers, fwhm, rgba))
+            scenes.append((f"synth{i:03d}", s["radiance"], centers, fwhm, rgba, s["rgb"]))
     elif args.scenes_dir:
         for name in sorted(os.listdir(args.scenes_dir)):
             if not name.endswith(".npy") or name.endswith(("_wl.npy", "_fwhm.npy", "_label.npy")):
@@ -114,15 +114,21 @@ def main(argv=None):
             fw = np.load(fw_p) if os.path.exists(fw_p) else np.full(len(wl), 5.5)
             lb_p = os.path.join(args.scenes_dir, f"{base}_label.npy")
             rgba = np.load(lb_p) if os.path.exists(lb_p) else None
-            scenes.append((base, cube, wl, fw, rgba))
+            rgb_p = os.path.join(args.scenes_dir, f"{base}_rgb.npy")
+            rgb = np.load(rgb_p) if os.path.exists(rgb_p) else None
+            scenes.append((base, cube, wl, fw, rgba, rgb))
     else:
         p.error("Provide --scenes-dir or --synthetic N")
 
     all_stats = []
-    for name, cube, wl, fw, rgba in scenes:
+    for name, cube, wl, fw, rgba, rgb in scenes:
         t0 = time.time()
         scene_dir = os.path.join(args.output, "scenes", name)
         process_scene(scene_dir, name, cube, np.asarray(wl, np.float64), np.asarray(fw, np.float64), rgba)
+        if rgb is not None and not os.path.exists(os.path.join(scene_dir, "rgb.npy")):
+            # (H, W, 3) visible bands (640/550/460 nm picks or synthetic RGB):
+            # becomes the TOA_AVIRIS_{640,550,460}nm chip products.
+            np.save(os.path.join(scene_dir, "rgb.npy"), np.asarray(rgb, np.float32))
         mf = np.load(os.path.join(scene_dir, "mag1c.npy"))
         stats = mag1c_window_stats(mf, size=args.chip_size, overlap=args.stats_overlap)
         for s in stats:
@@ -133,18 +139,22 @@ def main(argv=None):
     with open(os.path.join(args.output, "stats_mag1c.json"), "w") as fh:
         json.dump(all_stats, fh)
 
-    negatives = sampling_no_plumes(all_stats, args.n_hard, args.n_random, seed=args.seed)
+    # Negative mining runs ONLY over unlabeled scenes (the reference feeds
+    # sampling_no_plumes scenes without plumes — sampling_dataset.py:408);
+    # labeled scenes' high-mag1c windows are the plumes themselves.
+    def scene_labeled(name: str) -> bool:
+        return os.path.exists(os.path.join(args.output, "scenes", name, "label_rgba.npy"))
 
-    # Chip cache: plume chips (any window whose mag1c max is high + labeled) +
-    # mined negatives.
+    unlabeled_stats = [s for s in all_stats if not scene_labeled(s["name"])]
+    negatives = sampling_no_plumes(unlabeled_stats, args.n_hard, args.n_random, seed=args.seed)
+
+    # Chip cache: plume candidates (high-mag1c windows of labeled scenes) +
+    # mined negatives; ids deduplicated (one folder per window).
     from starcop_tpu.data.chip_cache import cache_dataset
 
     rows = []
     for s in all_stats:
-        if s["max"] >= 200 and any(
-            os.path.exists(os.path.join(args.output, "scenes", s["name"], "label_rgba.npy"))
-            for _ in (0,)
-        ):
+        if s["max"] >= 200 and scene_labeled(s["name"]):
             r = dict(s)
             r["kind"] = "plume_candidate"
             rows.append(r)
@@ -152,8 +162,14 @@ def main(argv=None):
         r = dict(s)
         r["kind"] = "negative"
         rows.append(r)
-    for i, r in enumerate(rows):
+    seen_ids = set()
+    deduped = []
+    for r in rows:
         r["id"] = f"{r['name']}_r{r['window_row_off']}_c{r['window_col_off']}"
+        if r["id"] not in seen_ids:
+            seen_ids.add(r["id"])
+            deduped.append(r)
+    rows = deduped
 
     def read_products(row):
         scene_dir = os.path.join(args.output, "scenes", row["name"])
@@ -174,6 +190,11 @@ def main(argv=None):
                 wv3_bands = [f"SWIR{i}" for i in range(1, wv3.shape[0] + 1)]
             for i, band in enumerate(wv3_bands):
                 products[f"TOA_WV3_{band}"] = np.asarray(wv3[i][sl])
+        rgb_path = os.path.join(scene_dir, "rgb.npy")
+        if os.path.exists(rgb_path):
+            rgb = np.load(rgb_path, mmap_mode="r")
+            for i, wl_name in enumerate(("640", "550", "460")):
+                products[f"TOA_AVIRIS_{wl_name}nm"] = np.asarray(rgb[sl[0], sl[1], i])
         rgba_path = os.path.join(scene_dir, "label_rgba.npy")
         rgba = None
         if os.path.exists(rgba_path) and row.get("kind") == "plume_candidate":

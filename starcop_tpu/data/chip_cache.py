@@ -81,8 +81,15 @@ def cache_chip(
         summary["label_pixels"] = int(label.sum())
         summary["has_plume"] = bool(label.sum() > 0)
         summary["qplume"] = float((out["mag1c"] * label).sum())
+    elif "labelbinary" not in out and out:
+        # Unlabeled chips (mined negatives) still need a label product so the
+        # training dataset can read them: all-background.
+        first = next(iter(out.values()))
+        out["labelbinary"] = np.zeros(first.shape[-2:], np.float32)
     if "mag1c" in out and "weight_mag1c" not in out:
-        out["weight_mag1c"] = np.clip(out["mag1c"] / 400.0, 0.1, 1.0).astype(np.float32)
+        from starcop_tpu.ops.ratios import weight_mag1c as _weight_mag1c
+
+        out["weight_mag1c"] = np.asarray(_weight_mag1c(out["mag1c"]), np.float32)
 
     for name, arr in out.items():
         np.save(os.path.join(folder, f"{name}.npy"), pad_to_size(arr, output_size))
@@ -119,10 +126,13 @@ def cache_dataset(
         entry = dict(row)
         entry.update(summary)
         entry["folder"] = folder
-        entry.setdefault("window_col_off", 0)
-        entry.setdefault("window_row_off", 0)
-        entry.setdefault("window_width", output_size[1])
-        entry.setdefault("window_height", output_size[0])
+        # Chips are materialized pre-cropped: index windows are chip-relative
+        # from here on (scene-relative offsets would make readers re-crop
+        # inside the chip).
+        entry["window_col_off"] = 0
+        entry["window_row_off"] = 0
+        entry["window_width"] = output_size[1]
+        entry["window_height"] = output_size[0]
         return entry
 
     with concurrent.futures.ThreadPoolExecutor(max(num_workers, 1)) as pool:

@@ -24,21 +24,18 @@ from starcop_tpu.data.dataset import ChipDataset, read_index_csv
 
 
 def create_windows(height: int, width: int, size: int, overlap: int) -> List[Dict[str, int]]:
-    """Sliding windows covering (height, width) with the given overlap."""
-    stride = size - overlap
-    windows = []
-    rows = list(range(0, max(height - size, 0) + 1, stride))
-    cols = list(range(0, max(width - size, 0) + 1, stride))
-    if rows and rows[-1] != height - size:
-        rows.append(height - size)
-    if cols and cols[-1] != width - size:
-        cols.append(width - size)
-    for r in rows or [0]:
-        for c in cols or [0]:
-            windows.append(
-                {"window_row_off": r, "window_col_off": c, "window_width": size, "window_height": size}
-            )
-    return windows
+    """Sliding windows covering (height, width) with the given overlap.
+
+    Delegates to mining.sliding_window_offsets (single implementation of the
+    edge handling: the tail window is added only when it fits, so chips
+    smaller than the window never produce negative offsets).
+    """
+    from starcop_tpu.data.mining import sliding_window_offsets
+
+    return [
+        {"window_row_off": r, "window_col_off": c, "window_width": size, "window_height": size}
+        for r, c in sliding_window_offsets(height, width, size, overlap)
+    ]
 
 
 def tile_rows(

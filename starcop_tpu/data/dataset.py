@@ -98,7 +98,20 @@ class ChipDataset:
         self.augment = augment
         self.extra_products = list(extra_products)
         self.add_rgb_aviris = add_rgb_aviris
-        self._rng = np.random.default_rng(seed)
+        # BatchLoader reads samples from a thread pool; numpy Generators are
+        # not thread-safe, so each thread gets its own child generator.
+        self._seed_seq = np.random.SeedSequence(seed)
+        self._local = None
+
+    @property
+    def _rng(self) -> np.random.Generator:
+        import threading
+
+        if self._local is None:
+            self._local = threading.local()
+        if not hasattr(self._local, "rng"):
+            self._local.rng = np.random.default_rng(self._seed_seq.spawn(1)[0])
+        return self._local.rng
 
     def add_extra_products(self, products: Sequence[str]):
         for p in products:

@@ -42,6 +42,16 @@ def crop_to_multiple(arrays: Sequence[np.ndarray], multiple: int = 32) -> List[n
     return [a[..., :h2, :w2] for a in arrays]
 
 
+def glt_gather(glt_x: np.ndarray, glt_y: np.ndarray, raster: np.ndarray, fill: float) -> np.ndarray:
+    """Orthorectification gather: 1-based GLT indices (0 = nodata) -> grid."""
+    valid = (glt_x > 0) & (glt_y > 0)
+    out = np.full(glt_x.shape, fill, dtype=raster.dtype)
+    yy = np.clip(glt_y - 1, 0, raster.shape[0] - 1)
+    xx = np.clip(glt_x - 1, 0, raster.shape[1] - 1)
+    out[valid] = raster[yy[valid], xx[valid]]
+    return out
+
+
 class EMITRawScene:
     """Raw EMIT L1B radiance granule reader (h5py over the .nc container).
 
@@ -86,12 +96,7 @@ class EMITRawScene:
         if self.glt_x is None:
             raise ValueError("Granule has no GLT arrays")
         fill = self.fill_value if fill_value is None else fill_value
-        valid = (self.glt_x > 0) & (self.glt_y > 0)
-        out = np.full(self.glt_x.shape, fill, dtype=raster.dtype)
-        yy = np.clip(self.glt_y - 1, 0, raster.shape[0] - 1)
-        xx = np.clip(self.glt_x - 1, 0, raster.shape[1] - 1)
-        out[valid] = raster[yy[valid], xx[valid]]
-        return out
+        return glt_gather(self.glt_x, self.glt_y, raster, fill)
 
     def close(self):
         self._f.close()

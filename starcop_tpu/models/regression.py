@@ -50,10 +50,12 @@ class RegressionModel:
     def _normalize_y(self, y):
         return y if self.normalizer is None else self.normalizer.normalize_y(y)
 
-    def apply(self, variables, x, train: bool = False):
+    def apply(self, variables, x, train: bool = False, rngs=None):
         xn = jnp.transpose(self._normalize_x(x), (0, 2, 3, 1))
         if train:
-            out, updates = self.network.apply(variables, xn, train=True, mutable=["batch_stats"])
+            out, updates = self.network.apply(
+                variables, xn, train=True, mutable=["batch_stats"], rngs=rngs
+            )
             return jnp.transpose(out, (0, 3, 1, 2)), updates
         return jnp.transpose(self.network.apply(variables, xn, train=False), (0, 3, 1, 2))
 

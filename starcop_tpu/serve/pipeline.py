@@ -189,15 +189,11 @@ def emit_serving_pipeline(
         pred, mf = np.asarray(pred_d), np.asarray(mf_d)
         out = {"mag1c": mf, "prediction": pred}
         if payload["glt"] is not None:
+            from starcop_tpu.data.emit import glt_gather
+
             glt_x, glt_y, fill = payload["glt"]
-            valid = (glt_x > 0) & (glt_y > 0)
             for key, fill_v in (("mag1c", fill), ("prediction", 0.0)):
-                src = out[key]
-                geo = np.full(glt_x.shape, fill_v, dtype=src.dtype)
-                yy = np.clip(glt_y - 1, 0, src.shape[0] - 1)
-                xx = np.clip(glt_x - 1, 0, src.shape[1] - 1)
-                geo[valid] = src[yy[valid], xx[valid]]
-                out[f"{key}_geo"] = geo
+                out[f"{key}_geo"] = glt_gather(glt_x, glt_y, out[key], fill_v)
         return out
 
     def write_fn(name: str, outputs: Dict):

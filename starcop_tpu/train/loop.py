@@ -107,9 +107,14 @@ def make_train_step(model: SegmentationModel, tx: optax.GradientTransformation) 
     """Build the jitted train step. Batches shard over 'data'; params replicate."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], lr_scale: jax.Array):
+        # Per-step dropout rng (only consumed by architectures with Dropout).
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            logits, updates = model.apply(variables, batch["input"], train=True)
+            logits, updates = model.apply(
+                variables, batch["input"], train=True, rngs={"dropout": dropout_rng}
+            )
             loss = model.loss_fn(logits, batch["output"], batch.get("weight_loss"))
             return loss, updates
 
