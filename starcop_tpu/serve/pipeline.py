@@ -159,11 +159,14 @@ def emit_serving_pipeline(
         sel = scene.band_slice()
         cube = scene.read_bands(sel)
         payload = {
-            "cube": cube,
+            # Start the (async) host->device transfers in the reader stage so
+            # scene N+1's upload overlaps scene N's compute — the upload is
+            # the largest per-scene cost on bandwidth-limited links.
+            "cube": jax.device_put(cube),
             "wavelengths": scene.wavelengths[sel],
             "fwhm": scene.fwhm[sel],
-            "invalid": scene.invalid_mask(cube),
-            "rgb": scene.read_rgb(),
+            "valid": jax.device_put(~scene.invalid_mask(cube)),
+            "rgb": jax.device_put(np.moveaxis(scene.read_rgb(), -1, 0)),
             "glt": (scene.glt_x, scene.glt_y, scene.fill_value) if georeference else None,
         }
         scene.close()
@@ -182,9 +185,7 @@ def emit_serving_pipeline(
                 )
             )
         pred_d, mf_d = fused_cache[key](
-            jnp.asarray(payload["cube"]),
-            jnp.asarray(np.moveaxis(payload["rgb"], -1, 0)),
-            jnp.asarray(~payload["invalid"]),
+            payload["cube"], payload["rgb"], payload["valid"]
         )
         pred, mf = np.asarray(pred_d), np.asarray(mf_d)
         out = {"mag1c": mf, "prediction": pred}
