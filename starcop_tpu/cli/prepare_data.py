@@ -99,8 +99,13 @@ def main(argv=None):
         centers, fwhm = aviris_swir_bands()
         for i in range(args.synthetic):
             s = synthetic_scene(rng, 1024, 640, n_plumes=int(rng.integers(0, 4)))
-            rgba = np.zeros((4,) + s["label"].shape, np.float32)
-            rgba[3] = s["label"]
+            if s["label"].sum() > 0:
+                rgba = np.zeros((4,) + s["label"].shape, np.float32)
+                rgba[3] = s["label"]
+            else:
+                # Plume-free scenes stay unlabeled: they are the negative-
+                # mining population (like the reference's no-plume flights).
+                rgba = None
             scenes.append((f"synth{i:03d}", s["radiance"], centers, fwhm, rgba, s["rgb"]))
     elif args.scenes_dir:
         for name in sorted(os.listdir(args.scenes_dir)):
