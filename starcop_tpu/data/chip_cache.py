@@ -103,6 +103,7 @@ def cache_dataset(
     output_size: Tuple[int, int] = (512, 512),
     num_workers: int = 4,
     index_name: str = "index.csv",
+    skip_existing: bool = True,
 ) -> str:
     """Cache many chips in parallel and write the index CSV.
 
@@ -111,18 +112,29 @@ def cache_dataset(
             ``read_products(row) -> (products dict, label_rgba or None,
             toa kwargs dict)``.
         read_products: host-side scene reader callback (rasterio/native IO).
+        skip_existing: tiles whose folder already holds a ``labelbinary``
+            product are not recomputed (idempotent re-runs, the reference's
+            skip-if-exists pattern); their index row is rebuilt from disk.
 
-    Returns the index CSV path. Skips tiles whose folder already has an index
-    entry (idempotent re-runs, like the reference's skip-if-exists checks).
+    Returns the index CSV path.
     """
     os.makedirs(root, exist_ok=True)
 
     def work(row: Dict) -> Dict:
         folder = os.path.join(root, str(row["id"]))
-        products, label_rgba, toa_kwargs = read_products(row)
-        summary = cache_chip(
-            folder, products, label_rgba, output_size=output_size, **(toa_kwargs or {})
-        )
+        label_path = os.path.join(folder, "labelbinary.npy")
+        if skip_existing and os.path.exists(label_path):
+            label = np.load(label_path, mmap_mode="r")
+            summary = {
+                "has_plume": bool(np.asarray(label).sum() > 0),
+                "qplume": float(row.get("qplume", 0.0)),
+                "label_pixels": int(np.asarray(label).sum()),
+            }
+        else:
+            products, label_rgba, toa_kwargs = read_products(row)
+            summary = cache_chip(
+                folder, products, label_rgba, output_size=output_size, **(toa_kwargs or {})
+            )
         entry = dict(row)
         entry.update(summary)
         entry["folder"] = folder

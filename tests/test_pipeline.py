@@ -406,3 +406,22 @@ def test_infer_emit_cli(tmp_path):
     pred = np.load(out / "prediction.npy")
     assert pred.shape == (64, 48) and np.all((pred >= 0) & (pred <= 1))
     assert (out / "mag1c.npy").exists()
+
+
+def test_cache_dataset_skip_existing(tmp_path):
+    from starcop_tpu.data.chip_cache import cache_dataset
+
+    rng = np.random.default_rng(0)
+    calls = {"n": 0}
+
+    def read_products(row):
+        calls["n"] += 1
+        return {"mag1c": rng.uniform(0, 500, (64, 64)).astype(np.float32)}, None, {}
+
+    rows = [{"id": "t0"}, {"id": "t1"}]
+    cache_dataset(str(tmp_path), rows, read_products, output_size=(64, 64), num_workers=1)
+    assert calls["n"] == 2
+    # Second run: nothing recomputed, index rebuilt.
+    index = cache_dataset(str(tmp_path), rows, read_products, output_size=(64, 64), num_workers=1)
+    assert calls["n"] == 2
+    assert os.path.exists(index)
