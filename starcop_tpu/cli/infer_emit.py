@@ -41,6 +41,7 @@ def main(argv=None):
     timer = StageTimer()
     with timer.stage("total"):
         scene = EMITRawScene(args.granule)
+        transform, crs_epsg = scene.transform, scene.crs_epsg
         out = emit_inference(
             scene,
             lambda x: model.apply(variables, x, train=False),
@@ -50,9 +51,20 @@ def main(argv=None):
         )
         scene.close()
 
+    from starcop_tpu.data.geotiff import write_geotiff
+
     os.makedirs(args.output, exist_ok=True)
     for name, arr in out.items():
-        np.save(os.path.join(args.output, f"{name}.npy"), arr)
+        # The granule transform describes the GLT-mapped (ortho) grid; only
+        # georeferenced products carry it (reference notebook cells 22-24).
+        on_ortho_grid = name.endswith("_geo")
+        write_geotiff(
+            os.path.join(args.output, f"{name}.tif"),
+            np.asarray(arr, np.float32),
+            transform=transform if on_ortho_grid else None,
+            crs_epsg=crs_epsg if on_ortho_grid else None,
+            descriptions=["CH4 Absorption (ppm x m)" if "mag1c" in name else name],
+        )
     times = timer.report(log=False)
     print(f"EMIT inference {os.path.basename(args.granule)}: {times['total']:.2f}s; "
           f"pred mean {float(out['prediction'].mean()):.4f}")

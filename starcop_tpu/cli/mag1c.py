@@ -3,8 +3,11 @@
 Re-design of the reference preprocessing CLI
 (/root/reference/scripts/preprocessing/mag1c.py:5-28 + process_aviris.run_mag1c):
 
-    python -m starcop_tpu.cli.mag1c scene.npy --output mf.npy \
+    python -m starcop_tpu.cli.mag1c scene.npy --output mf.tif \
         [--glt glt.npy] [--wavelengths w.npy --fwhm f.npy] [--column-step 32]
+
+Outputs dispatch on extension: .tif writes a tiled GeoTIFF with wavelength
+tags (the reference's COG deliverable), .npy a bare array.
 
 Inputs are .npy (cube (H, W, S)) or ENVI raw cubes via --envi-shape/--dtype.
 Prints per-scene wall time like the reference harness.
@@ -22,7 +25,7 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("radiance", help=".npy radiance cube (H, W, S)")
-    p.add_argument("--output", required=True, help="output .npy for the mf raster")
+    p.add_argument("--output", required=True, help="output .tif/.npy for the mf raster")
     p.add_argument("--albedo-output", default=None)
     p.add_argument("--wavelengths", default=None, help=".npy (S,) band centers [nm]")
     p.add_argument("--fwhm", default=None, help=".npy (S,) band FWHM [nm]")
@@ -62,9 +65,15 @@ def main(argv=None):
         )
         mf, albedo = np.asarray(mf_j), np.asarray(albedo_j)
 
-    np.save(args.output, mf.astype(np.float32))
+    from starcop_tpu.data.geotiff import save_raster
+
+    wave_tags = {"wavelengths": ",".join(f"{w:.1f}" for w in np.asarray(wavelengths)),
+                 "mag1c": "acfwl1mf"}
+    save_raster(args.output, mf.astype(np.float32), nodata=-9999.0, tags=wave_tags,
+                descriptions=["CH4 Absorption (ppm x m)"])
     if args.albedo_output:
-        np.save(args.albedo_output, albedo.astype(np.float32))
+        save_raster(args.albedo_output, albedo.astype(np.float32), nodata=-9999.0,
+                    tags=wave_tags, descriptions=["Albedo"])
     print(f"mag1c {args.radiance} -> {args.output}: {time.time() - t0:.2f}s "
           f"(shape {mf.shape}, max {np.nanmax(mf):.0f})")
     return 0

@@ -42,16 +42,24 @@ def cache_chip(
     toa_correction_factor: Optional[float] = None,
     toa_products: Sequence[str] = (),
     solar_irradiance: Optional[Dict[str, float]] = None,
+    fmt: str = "tif",
+    transform=None,
+    crs_epsg: Optional[int] = None,
 ) -> Dict[str, float]:
     """Materialize one chip folder from raw product windows.
 
     Args:
-        folder: output tile folder ({folder}/{product}.npy per product).
+        folder: output tile folder ({folder}/{product}.{fmt} per product).
         products: product name -> (H, W) array (raw units).
         label_rgba: (4, H, W) human annotation for label refinement; when
             given and 'mag1c' is present, writes 'labelbinary' + 'label_rgba'.
         toa_correction_factor: pi d^2 / cos(sza) for the acquisition; applied
             to ``toa_products`` with their per-band solar irradiance.
+        fmt: 'tif' (the reference's per-tile COG layout, BLOCKSIZE 128 —
+            sampling_dataset.py:358-394; geo metadata preserved) or 'npy'.
+        transform: chip-level affine (already window-offset; see
+            ``geo.window_transform``); written into each .tif.
+        crs_epsg: CRS EPSG code for the .tif outputs.
 
     Returns per-tile summary stats (has_plume, qplume, label_pixels).
     """
@@ -91,8 +99,19 @@ def cache_chip(
 
         out["weight_mag1c"] = np.asarray(_weight_mag1c(out["mag1c"]), np.float32)
 
+    from starcop_tpu.data.geotiff import save_raster
+
     for name, arr in out.items():
-        np.save(os.path.join(folder, f"{name}.npy"), pad_to_size(arr, output_size))
+        geo_kwargs = {}
+        if fmt == "tif":
+            geo_kwargs = {
+                "transform": transform,
+                "crs_epsg": crs_epsg,
+                "descriptions": ["r", "g", "b", "a"] if name == "label_rgba" else [name],
+            }
+        save_raster(
+            os.path.join(folder, f"{name}.{fmt}"), pad_to_size(arr, output_size), **geo_kwargs
+        )
     return summary
 
 
@@ -120,15 +139,17 @@ def cache_dataset(
     """
     os.makedirs(root, exist_ok=True)
 
+    from starcop_tpu.data.geotiff import find_raster, load_raster
+
     def work(row: Dict) -> Dict:
         folder = os.path.join(root, str(row["id"]))
-        label_path = os.path.join(folder, "labelbinary.npy")
-        if skip_existing and os.path.exists(label_path):
-            label = np.load(label_path, mmap_mode="r")
+        label_path = find_raster(folder, "labelbinary")
+        if skip_existing and label_path is not None:
+            label = np.asarray(load_raster(label_path))
             summary = {
-                "has_plume": bool(np.asarray(label).sum() > 0),
+                "has_plume": bool(label.sum() > 0),
                 "qplume": float(row.get("qplume", 0.0)),
-                "label_pixels": int(np.asarray(label).sum()),
+                "label_pixels": int(label.sum()),
             }
         else:
             products, label_rgba, toa_kwargs = read_products(row)

@@ -7,9 +7,11 @@ input/output/weight products into (C, H, W) float arrays, optionally random-
 crops to the training window, and applies joint geometric augmentation.
 
 Storage backends:
-  * ``.npy`` per product (the framework-native synthetic/cache format);
-  * ``.tif`` per product via rasterio when available (the reference's COG chip
-    layout) — gated import, same window semantics.
+  * ``.npy`` per product (the fast synthetic/test format);
+  * ``.tif`` per product via the framework's own GeoTIFF codec
+    (``starcop_tpu.data.geotiff``) — the reference's COG chip layout
+    (sampling_dataset.py:358-394), same window semantics, geo metadata
+    preserved.
 
 The reader is host-side numpy by design: chips feed a prefetched host->device
 pipeline; all math after batching happens on TPU.
@@ -22,13 +24,6 @@ import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-
-try:  # optional geospatial backend
-    import rasterio  # type: ignore
-
-    _HAS_RASTERIO = True
-except ImportError:
-    _HAS_RASTERIO = False
 
 
 def read_index_csv(path: str) -> List[Dict]:
@@ -47,25 +42,12 @@ def read_index_csv(path: str) -> List[Dict]:
 
 def _read_product(folder: str, product: str, window: Optional[Tuple[int, int, int, int]]) -> np.ndarray:
     """Read one product raster, optionally windowed (col_off, row_off, w, h)."""
-    npy = os.path.join(folder, f"{product}.npy")
-    if os.path.exists(npy):
-        arr = np.load(npy, mmap_mode="r")
-        if window is not None:
-            c, r, w, h = window
-            arr = arr[r : r + h, c : c + w]
-        return np.asarray(arr, np.float32)
-    tif = os.path.join(folder, f"{product}.tif")
-    if os.path.exists(tif):
-        if not _HAS_RASTERIO:
-            raise RuntimeError(f"{tif} exists but rasterio is not installed")
-        with rasterio.open(tif) as src:
-            if window is not None:
-                c, r, w, h = window
-                data = src.read(1, window=rasterio.windows.Window(c, r, w, h))
-            else:
-                data = src.read(1)
-        return np.asarray(data, np.float32)
-    raise FileNotFoundError(f"No {product}.npy/.tif in {folder}")
+    from starcop_tpu.data.geotiff import find_raster, load_raster
+
+    path = find_raster(folder, product)
+    if path is None:
+        raise FileNotFoundError(f"No {product}.tif/.npy in {folder}")
+    return np.asarray(load_raster(path, window=window), np.float32)
 
 
 class ChipDataset:

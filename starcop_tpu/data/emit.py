@@ -73,6 +73,7 @@ class EMITRawScene:
         loc = self._f.get("location")
         self.glt_x = np.asarray(loc["glt_x"][:]) if loc is not None and "glt_x" in loc else None
         self.glt_y = np.asarray(loc["glt_y"][:]) if loc is not None and "glt_y" in loc else None
+        self.transform, self.crs_epsg = _parse_geo_attrs(self._f)
 
     def band_slice(self, wavelength_range: Tuple[float, float] = DEFAULT_WAVELENGTH_RANGE):
         sel = (self.wavelengths >= wavelength_range[0]) & (self.wavelengths <= wavelength_range[1])
@@ -100,6 +101,38 @@ class EMITRawScene:
 
     def close(self):
         self._f.close()
+
+
+def _parse_geo_attrs(f) -> Tuple[Optional[Tuple[float, ...]], Optional[int]]:
+    """EMIT granule geo attrs -> (Affine, EPSG).
+
+    EMIT L1B granules carry a GDAL-order ``geotransform`` (xoff, a, b, yoff,
+    d, e) and a ``spatial_ref`` WKT as root (or location-group) attributes;
+    the reference reaches them through georeader's EMITImage. The GLT-mapped
+    (ortho) outputs live on this grid."""
+    import re
+
+    attrs = dict(f.attrs)
+    loc = f.get("location")
+    if loc is not None:
+        for k, v in loc.attrs.items():
+            attrs.setdefault(k, v)
+    transform = None
+    gt = attrs.get("geotransform")
+    if gt is not None and len(np.atleast_1d(gt)) == 6:
+        xoff, a, b, yoff, d, e = [float(v) for v in np.atleast_1d(gt)]
+        transform = (a, b, xoff, d, e, yoff)
+    epsg = None
+    wkt = attrs.get("spatial_ref", attrs.get("crs", None))
+    if wkt is not None:
+        if isinstance(wkt, bytes):
+            wkt = wkt.decode("utf-8", "replace")
+        m = re.findall(r'AUTHORITY\["EPSG",\s*"?(\d+)"?\]', str(wkt))
+        if m:
+            epsg = int(m[-1])  # last AUTHORITY entry is the CRS itself
+        elif "EPSG:" in str(wkt):
+            epsg = int(str(wkt).rsplit("EPSG:", 1)[1].split()[0])
+    return transform, epsg
 
 
 class EMITEvalDataset:
@@ -203,12 +236,8 @@ def _load_scene_products(scene_dir: str):
         for cand in ("label.tif", "label_released.tif"):
             p = os.path.join(scene_dir, cand)
             if os.path.exists(p):
-                try:
-                    import rasterio
+                from starcop_tpu.data.geotiff import read_geotiff
 
-                    with rasterio.open(p) as src:
-                        label = src.read(1)
-                except ImportError:
-                    pass
+                label = read_geotiff(p, band=0)[0]
                 break
     return mag, rgb_arr, label

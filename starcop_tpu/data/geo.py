@@ -32,6 +32,14 @@ def world_to_pixel(transform: Affine, x, y):
     return col, row
 
 
+def window_transform(transform: Affine, col_off: int, row_off: int) -> Affine:
+    """Affine of a (col_off, row_off)-anchored window on the same grid (the
+    chip-level geotransform the reference's per-tile COGs carry)."""
+    a, b, xoff, d, e, yoff = transform
+    x0, y0 = pixel_to_world(transform, col_off, row_off)
+    return (a, b, x0, d, e, y0)
+
+
 def transforms_compatible(t1: Affine, t2: Affine, tol: float = 1e-6) -> bool:
     """Same rotation/scale terms (the reference asserts CRS/transform equality
     before computing plume windows — plume_preprocessing.py:13-18)."""

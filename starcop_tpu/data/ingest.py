@@ -169,14 +169,30 @@ def png_mask_to_binary(png_path: str, threshold: int = 0) -> np.ndarray:
 
 
 def save_scene_bands(cube: np.ndarray, wavelengths: np.ndarray, fwhm: np.ndarray,
-                     out_dir: str) -> str:
-    """Per-band materialization + metadata.json (reference save_aviris_cog,
-    process_aviris.py:93-133; .npy instead of COG when rasterio is absent)."""
+                     out_dir: str, transform=None, crs_epsg: Optional[int] = None,
+                     skip_existing: bool = True) -> str:
+    """Per-band COG materialization + metadata.json (reference save_aviris_cog,
+    process_aviris.py:93-133): one tiled GeoTIFF per band ({i}.tif) carrying
+    the geotransform/CRS and a wavelength description, via the framework's own
+    GeoTIFF codec (no GDAL)."""
     import json
+
+    from starcop_tpu.data.geotiff import write_geotiff
 
     os.makedirs(out_dir, exist_ok=True)
     for i in range(cube.shape[-1]):
-        np.save(os.path.join(out_dir, f"{i}.npy"), cube[..., i].astype(np.float32))
+        path = os.path.join(out_dir, f"{i}.tif")
+        if skip_existing and os.path.exists(path):
+            continue  # idempotent re-runs (reference process_aviris.py:118-120)
+        write_geotiff(
+            path,
+            cube[..., i].astype(np.float32),
+            transform=transform,
+            crs_epsg=crs_epsg,
+            tags={"wavelength": f"{float(wavelengths[i]):.2f}",
+                  "fwhm": f"{float(fwhm[i]):.2f}"},
+            descriptions=[f"{float(wavelengths[i]):.2f} nm"],
+        )
     meta = {"wavelengths": list(map(float, wavelengths)), "bandwidths": list(map(float, fwhm))}
     path = os.path.join(out_dir, "metadata.json")
     with open(path, "w") as fh:

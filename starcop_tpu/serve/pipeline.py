@@ -168,6 +168,8 @@ def emit_serving_pipeline(
             "valid": jax.device_put(~scene.invalid_mask(cube)),
             "rgb": jax.device_put(np.moveaxis(scene.read_rgb(), -1, 0)),
             "glt": (scene.glt_x, scene.glt_y, scene.fill_value) if georeference else None,
+            "transform": scene.transform,
+            "crs_epsg": scene.crs_epsg,
         }
         scene.close()
         return payload
@@ -189,18 +191,42 @@ def emit_serving_pipeline(
         )
         pred, mf = np.asarray(pred_d), np.asarray(mf_d)
         out = {"mag1c": mf, "prediction": pred}
+        nodata = {"mag1c": -9999.0}
         if payload["glt"] is not None:
             from starcop_tpu.data.emit import glt_gather
 
             glt_x, glt_y, fill = payload["glt"]
             for key, fill_v in (("mag1c", fill), ("prediction", 0.0)):
                 out[f"{key}_geo"] = glt_gather(glt_x, glt_y, out[key], fill_v)
+            nodata["mag1c_geo"] = fill
+        out["__geo__"] = {
+            "transform": payload.get("transform"),
+            "crs_epsg": payload.get("crs_epsg"),
+            "nodata": nodata,
+        }
         return out
 
     def write_fn(name: str, outputs: Dict):
+        # GeoTIFF deliverables (the reference's outputs are COGs with
+        # CRS/transform — process_aviris.py:224-241); the granule's transform
+        # describes the GLT-mapped (ortho) grid, so only *_geo products (and
+        # scenes with no GLT pass) carry it.
+        from starcop_tpu.data.geotiff import write_geotiff
+
+        geo = outputs.pop("__geo__", {})
+        transform, crs_epsg = geo.get("transform"), geo.get("crs_epsg")
+        nodata = geo.get("nodata", {})
         base = os.path.join(output_dir, os.path.splitext(os.path.basename(name))[0])
         os.makedirs(base, exist_ok=True)
         for key, arr in outputs.items():
-            np.save(os.path.join(base, f"{key}.npy"), arr)
+            on_ortho_grid = key.endswith("_geo")
+            write_geotiff(
+                os.path.join(base, f"{key}.tif"),
+                np.asarray(arr, np.float32),
+                transform=transform if on_ortho_grid else None,
+                crs_epsg=crs_epsg if on_ortho_grid else None,
+                nodata=nodata.get(key),
+                descriptions=["CH4 Absorption (ppm x m)" if "mag1c" in key else "plume probability"],
+            )
 
     return ScenePipeline(read_fn, compute_fn, write_fn, queue_size=queue_size)

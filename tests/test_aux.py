@@ -143,10 +143,19 @@ def test_prepare_data_cli_synthetic(tmp_path):
     rows = read_index_csv(str(index))
     assert len(rows) >= 2  # at least the mined negatives
     tile = rows[0]["folder"]
-    assert os.path.exists(os.path.join(tile, "mag1c.npy"))
-    assert os.path.exists(os.path.join(tile, "TOA_WV3_SWIR5.npy"))
-    m = np.load(os.path.join(tile, "mag1c.npy"))
-    assert m.shape == (256, 256)
+    from starcop_tpu.data.geotiff import read_geotiff
+
+    m, meta = read_geotiff(os.path.join(tile, "mag1c.tif"))
+    assert m.shape == (1, 256, 256)
+    assert os.path.exists(os.path.join(tile, "TOA_WV3_SWIR5.tif"))
+    # chips carry the window-offset geotransform + CRS of their scene
+    assert meta.crs_epsg == 32613
+    assert meta.transform[0] == 5.0 and meta.transform[4] == -5.0
+    # scene products are georeferenced too
+    _, scene_meta = read_geotiff(str(out / "scenes" / "synth000" / "mag1c.tif"))
+    assert scene_meta.crs_epsg == 32613 and scene_meta.nodata == -9999.0
+    assert "wavelengths" in scene_meta.tags
+    assert scene_meta.descriptions == ["CH4 Absorption (ppm x m)"]
 
 
 def test_jsonl_logger(tmp_path):

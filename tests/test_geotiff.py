@@ -1,0 +1,181 @@
+"""Roundtrip + plumbing tests for the framework's self-contained GeoTIFF codec.
+
+The reference's deliverables are COGs with CRS/transform and wavelength tags
+(/root/reference/starcop/process_aviris.py:93-133,224-241; chip COGs with
+BLOCKSIZE 128 — sampling_dataset.py:358-394). These tests pin that the
+framework's own codec preserves data + geo metadata exactly, interoperates
+with an external TIFF implementation (PIL) both ways, and that the chip
+cache / dataset layers thread geo metadata through.
+"""
+
+import numpy as np
+import pytest
+
+from starcop_tpu.data.geo import window_transform
+from starcop_tpu.data.geotiff import (
+    GeoTIFFReader,
+    find_raster,
+    load_raster,
+    read_geotiff,
+    save_raster,
+    write_geotiff,
+)
+
+T_UTM = (5.0, 0.0, 500000.0, 0.0, -5.0, 4000000.0)
+
+
+def test_roundtrip_single_band_float32(tmp_path, rng):
+    arr = rng.uniform(0, 10000, size=(300, 217)).astype(np.float32)
+    path = str(tmp_path / "mf.tif")
+    write_geotiff(
+        path, arr, transform=T_UTM, crs_epsg=32613, nodata=-9999.0,
+        tags={"wavelengths": "2122.0,2480.0", "mag1c": "acfwl1mf"},
+        descriptions=["CH4 Absorption (ppm x m)"],
+    )
+    back, meta = read_geotiff(path)
+    np.testing.assert_array_equal(back[0], arr)
+    assert meta.crs_epsg == 32613
+    assert meta.nodata == -9999.0
+    assert np.allclose(meta.transform, T_UTM)
+    assert meta.tags["mag1c"] == "acfwl1mf"
+    assert meta.descriptions == ["CH4 Absorption (ppm x m)"]
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16, np.int32, np.float64])
+def test_roundtrip_dtypes(tmp_path, rng, dtype):
+    info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
+    arr = (
+        rng.integers(info.min, info.max, size=(70, 53)).astype(dtype)
+        if info
+        else rng.normal(size=(70, 53)).astype(dtype)
+    )
+    path = str(tmp_path / "x.tif")
+    write_geotiff(path, arr)
+    back, _ = read_geotiff(path)
+    assert back.dtype == dtype
+    np.testing.assert_array_equal(back[0], arr)
+
+
+def test_windowed_read_decodes_only_needed_tiles(tmp_path, rng):
+    arr = rng.uniform(size=(513, 390)).astype(np.float32)
+    path = str(tmp_path / "big.tif")
+    write_geotiff(path, arr, tile_size=128)
+    win, _ = read_geotiff(path, window=(100, 250, 130, 200))
+    np.testing.assert_array_equal(win[0], arr[250:450, 100:230])
+    # window clipped at the raster edge comes back zero-padded beyond extent
+    edge, _ = read_geotiff(path, window=(380, 500, 20, 20))
+    np.testing.assert_array_equal(edge[0, :13, :10], arr[500:, 380:])
+    assert (edge[0, 13:, :] == 0).all() and (edge[0, :, 10:] == 0).all()
+
+
+def test_multiband_rotated_transform_descriptions(tmp_path, rng):
+    arr = rng.uniform(size=(4, 140, 131)).astype(np.float32)
+    t_rot = (4.9, 0.3, 1000.0, 0.2, -5.1, 2000.0)  # rotated grid -> ModelTransformation
+    path = str(tmp_path / "rgba.tif")
+    write_geotiff(path, arr, transform=t_rot, crs_epsg=4326,
+                  descriptions=["r", "g", "b", "a"])
+    r = GeoTIFFReader(path)
+    assert r.shape == (4, 140, 131)
+    np.testing.assert_array_equal(r.read(), arr)
+    np.testing.assert_array_equal(r.read(band=2, window=(10, 20, 30, 40)),
+                                  arr[2, 20:60, 10:40])
+    assert np.allclose(r.meta.transform, t_rot)
+    assert r.meta.crs_epsg == 4326
+    assert r.meta.descriptions == ["r", "g", "b", "a"]
+
+
+def test_overviews_written_for_large_rasters(tmp_path, rng):
+    arr = rng.uniform(size=(1024, 800)).astype(np.float32)
+    path = str(tmp_path / "scene.tif")
+    write_geotiff(path, arr, tile_size=128)
+    r = GeoTIFFReader(path)
+    assert r.overview_count >= 2  # COG essential: reduced-resolution IFDs
+    np.testing.assert_array_equal(r.read()[0], arr)
+
+
+def test_interop_with_external_tiff_reader(tmp_path, rng):
+    """Our files open in PIL; PIL's strip TIFFs open in our reader."""
+    PIL = pytest.importorskip("PIL.Image")
+    arr = rng.uniform(0, 1, size=(90, 77)).astype(np.float32)
+    ours = str(tmp_path / "ours.tif")
+    write_geotiff(ours, arr)
+    np.testing.assert_allclose(np.asarray(PIL.open(ours)), arr)
+
+    theirs = str(tmp_path / "theirs.tif")
+    PIL.fromarray(arr).save(theirs)
+    back, _ = read_geotiff(theirs)
+    np.testing.assert_allclose(back[0], arr)
+
+
+def test_uncompressed_mode(tmp_path, rng):
+    arr = rng.uniform(size=(64, 64)).astype(np.float32)
+    path = str(tmp_path / "raw.tif")
+    write_geotiff(path, arr, compress=False)
+    back, _ = read_geotiff(path)
+    np.testing.assert_array_equal(back[0], arr)
+
+
+def test_save_load_raster_dispatch(tmp_path, rng):
+    arr = rng.uniform(size=(40, 30)).astype(np.float32)
+    save_raster(str(tmp_path / "a.npy"), arr)
+    save_raster(str(tmp_path / "b.tif"), arr, transform=T_UTM, crs_epsg=32613)
+    np.testing.assert_array_equal(load_raster(str(tmp_path / "a.npy")), arr)
+    np.testing.assert_array_equal(load_raster(str(tmp_path / "b.tif")), arr)
+    np.testing.assert_array_equal(
+        load_raster(str(tmp_path / "b.tif"), window=(5, 10, 12, 8)), arr[10:18, 5:17]
+    )
+    assert find_raster(str(tmp_path), "a").endswith("a.npy")
+    assert find_raster(str(tmp_path), "b").endswith("b.tif")
+    assert find_raster(str(tmp_path), "missing") is None
+
+
+def test_window_transform():
+    t = window_transform(T_UTM, 100, 200)
+    assert t == (5.0, 0.0, 500000.0 + 100 * 5.0, 0.0, -5.0, 4000000.0 - 200 * 5.0)
+
+
+def test_chip_cache_writes_georeferenced_tifs(tmp_path, rng):
+    """cache_chip's .tif outputs carry the chip transform + CRS (reference
+    per-tile COGs, sampling_dataset.py:358-394)."""
+    from starcop_tpu.data.chip_cache import cache_chip
+
+    mag1c = rng.uniform(0, 20000, size=(256, 256)).astype(np.float32)
+    chip_t = window_transform(T_UTM, 512, 1024)
+    cache_chip(
+        str(tmp_path / "chip0"),
+        {"mag1c": mag1c},
+        output_size=(256, 256),
+        transform=chip_t,
+        crs_epsg=32613,
+    )
+    arr, meta = read_geotiff(str(tmp_path / "chip0" / "mag1c.tif"))
+    np.testing.assert_array_equal(arr[0], np.clip(mag1c, 0, 10000))
+    assert np.allclose(meta.transform, chip_t) and meta.crs_epsg == 32613
+    assert meta.descriptions == ["mag1c"]
+    # derived products georeferenced too
+    _, wmeta = read_geotiff(str(tmp_path / "chip0" / "weight_mag1c.tif"))
+    assert np.allclose(wmeta.transform, chip_t)
+
+
+def test_chip_dataset_reads_tif_chips(tmp_path, rng):
+    """ChipDataset consumes .tif chip folders identically to .npy ones."""
+    from starcop_tpu.data.chip_cache import cache_chip
+    from starcop_tpu.data.dataset import ChipDataset
+
+    folder = tmp_path / "c0"
+    mag1c = rng.uniform(0, 2000, size=(64, 64)).astype(np.float32)
+    rgb = {f"TOA_AVIRIS_{w}nm": rng.uniform(0, 60, (64, 64)).astype(np.float32)
+           for w in (640, 550, 460)}
+    cache_chip(str(folder), {"mag1c": mag1c, **rgb}, output_size=(64, 64),
+               transform=T_UTM, crs_epsg=32613)
+    rows = [{
+        "id": "c0", "folder": str(folder), "has_plume": False,
+        "window_col_off": 8, "window_row_off": 4, "window_width": 32,
+        "window_height": 16,
+    }]
+    ds = ChipDataset(rows, ["mag1c"] + list(rgb), weight_loss_product="weight_mag1c")
+    sample = ds[0]
+    assert sample["input"].shape == (4, 16, 32)
+    np.testing.assert_allclose(sample["input"][0], mag1c[4:20, 8:40])
+    assert sample["output"].shape == (1, 16, 32)
+    assert sample["weight_loss"].shape == (1, 16, 32)

@@ -66,12 +66,18 @@ def test_column_windows():
 
 
 def test_save_scene_bands(tmp_path):
+    from starcop_tpu.data.geotiff import read_geotiff
+
     cube = np.random.default_rng(0).uniform(size=(8, 9, 3)).astype(np.float32)
     wl = np.array([2100.0, 2200.0, 2300.0])
-    path = ingest.save_scene_bands(cube, wl, np.full(3, 5.5), str(tmp_path / "bands"))
+    t = (5.0, 0.0, 500000.0, 0.0, -5.0, 4000000.0)
+    path = ingest.save_scene_bands(cube, wl, np.full(3, 5.5), str(tmp_path / "bands"),
+                                   transform=t, crs_epsg=32613)
     assert os.path.exists(path)
-    band1 = np.load(tmp_path / "bands" / "1.npy")
-    np.testing.assert_array_equal(band1, cube[..., 1])
+    band1, meta1 = read_geotiff(str(tmp_path / "bands" / "1.tif"))
+    np.testing.assert_array_equal(band1[0], cube[..., 1])
+    assert meta1.crs_epsg == 32613 and np.allclose(meta1.transform, t)
+    assert meta1.tags["wavelength"] == "2200.00"
     import json
 
     meta = json.load(open(path))

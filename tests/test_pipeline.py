@@ -219,12 +219,14 @@ def test_cache_chip_and_dataset(tmp_path):
     rows = [{"id": f"t{i}"} for i in range(3)]
     index = cache_dataset(str(tmp_path), rows, read_products, output_size=(512, 512), num_workers=2)
     assert os.path.exists(index)
-    m = np.load(tmp_path / "t0" / "mag1c.npy")
-    assert m.shape == (512, 512) and m.max() <= 10000.0
-    w = np.load(tmp_path / "t0" / "weight_mag1c.npy")
+    from starcop_tpu.data.geotiff import read_geotiff
+
+    m, _ = read_geotiff(str(tmp_path / "t0" / "mag1c.tif"))
+    assert m.shape == (1, 512, 512) and m.max() <= 10000.0
+    w, _ = read_geotiff(str(tmp_path / "t0" / "weight_mag1c.tif"))
     assert w.min() >= 0.0 and w.max() <= 1.0
-    label = np.load(tmp_path / "t0" / "labelbinary.npy")
-    assert label.shape == (512, 512)
+    label, _ = read_geotiff(str(tmp_path / "t0" / "labelbinary.tif"))
+    assert label.shape == (1, 512, 512)
     from starcop_tpu.data.dataset import read_index_csv
 
     entries = read_index_csv(index)
@@ -403,9 +405,11 @@ def test_infer_emit_cli(tmp_path):
     rc = infer_main([str(granule), "--checkpoint", ckpt, "--output", str(out),
                      "--column-step", "16", "--num-iter", "3"])
     assert rc == 0
-    pred = np.load(out / "prediction.npy")
-    assert pred.shape == (64, 48) and np.all((pred >= 0) & (pred <= 1))
-    assert (out / "mag1c.npy").exists()
+    from starcop_tpu.data.geotiff import read_geotiff
+
+    pred, _ = read_geotiff(str(out / "prediction.tif"))
+    assert pred.shape == (1, 64, 48) and np.all((pred >= 0) & (pred <= 1))
+    assert (out / "mag1c.tif").exists()
 
 
 def test_cache_dataset_skip_existing(tmp_path):

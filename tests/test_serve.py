@@ -116,9 +116,12 @@ def test_emit_serving_pipeline_end_to_end(tmp_path):
     )
     results = pipeline.run(paths)
     assert len(results) == 2 and all(r.error is None for r in results)
+    from starcop_tpu.data.geotiff import read_geotiff
+
     for p in paths:
         base = out_dir / os.path.splitext(os.path.basename(p))[0]
-        pred = np.load(base / "prediction.npy")
-        mag1c = np.load(base / "mag1c.npy")
-        assert pred.shape == (64, 48) and mag1c.shape == (64, 48)
+        pred, _ = read_geotiff(str(base / "prediction.tif"))
+        mag1c, meta = read_geotiff(str(base / "mag1c.tif"))
+        assert pred.shape == (1, 64, 48) and mag1c.shape == (1, 64, 48)
         assert np.all((pred >= 0) & (pred <= 1))
+        assert meta.nodata == -9999.0
