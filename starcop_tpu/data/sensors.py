@@ -13,9 +13,11 @@ Re-design of the reference AVIRIS->S2/WV3 simulation and TOA stack
     tables (published ESA/Maxar constants, aviris.py:31-49).
 
 SRFs: the reference loads measured SRF CSVs from GCS (aviris.py:27-29). This
-framework ships Gaussian SRF approximations from the published band
-centers/FWHM and accepts measured tables via ``srf_from_table`` for exact
-parity when the CSVs are available.
+framework ships tabulated per-sensor SRFs as an asset (``data/srf.py``,
+``assets/srf_tables.npz`` — flat-topped super-Gaussian band shapes from the
+published per-unit centers/FWHM, S2A and S2B distinct) consumed through
+``srf_from_table``, with a measured-CSV override in the reference's schema
+and a plain-Gaussian fallback (``srf_source='gaussian'``).
 """
 
 from __future__ import annotations
@@ -288,18 +290,51 @@ def transform_to_srf(
     return out
 
 
+def _resolve_srf_weights(
+    aviris_wavelengths: Sequence[float],
+    sensor: str,
+    bands: List[str],
+    gaussian_table: Dict[str, Tuple[float, float]],
+    srf_source: str,
+    srf_csv: Optional[str],
+) -> np.ndarray:
+    """Weight matrix from the requested SRF source: 'table' (the shipped
+    tabulated SRFs / a measured CSV — the reference's mechanism,
+    aviris.py:155-223) or 'gaussian' (center/FWHM approximation)."""
+    if srf_source == "gaussian":
+        weights, _ = gaussian_srf_weights(aviris_wavelengths, gaussian_table, bands)
+        return weights
+    if srf_source != "table":
+        raise ValueError(f"srf_source must be 'table' or 'gaussian', got {srf_source!r}")
+    from starcop_tpu.data.srf import srf_table_weights
+
+    weights, _ = srf_table_weights(
+        aviris_wavelengths, sensor, bands=bands, path_override=srf_csv
+    )
+    return weights
+
+
 def transform_to_worldview_3(
     aviris_cube: jax.Array,
     aviris_wavelengths: Sequence[float],
     bands: Optional[Sequence[str]] = None,
     scale: float = 1.0,
     srf_weights: Optional[np.ndarray] = None,
+    srf_source: str = "table",
+    srf_csv: Optional[str] = None,
     **kwargs,
 ) -> Tuple[jax.Array, List[str]]:
-    """AVIRIS -> WV3 SWIR simulation (reference aviris.py:225-235)."""
+    """AVIRIS -> WV3 SWIR simulation (reference aviris.py:225-235).
+
+    Uses the shipped tabulated WV3 SRFs by default (``data/srf.py``); pass a
+    measured-SRF CSV via ``srf_csv`` for exact instrument parity, or
+    ``srf_source='gaussian'`` for the center/FWHM approximation.
+    """
     bands = list(bands or WV3_SWIR_CENTERS_FWHM.keys())
     if srf_weights is None:
-        srf_weights, bands = gaussian_srf_weights(aviris_wavelengths, WV3_SWIR_CENTERS_FWHM, bands)
+        srf_weights = _resolve_srf_weights(
+            aviris_wavelengths, "WV3", bands, WV3_SWIR_CENTERS_FWHM, srf_source, srf_csv
+        )
     return transform_to_srf(aviris_cube, srf_weights, scale=scale, **kwargs), bands
 
 
@@ -311,13 +346,21 @@ def transform_to_sentinel_2(
     resolution_src: float = 8.0,
     resolution_dst: float = 10.0,
     srf_weights: Optional[np.ndarray] = None,
+    srf_source: str = "table",
+    srf_csv: Optional[str] = None,
     **kwargs,
 ) -> Tuple[jax.Array, List[str]]:
     """AVIRIS -> Sentinel-2 simulation with per-band anti-aliasing sigmas from
-    the native band resolutions (reference aviris.py:238-260)."""
+    the native band resolutions (reference aviris.py:238-260). Per-unit
+    tabulated SRFs (S2A vs S2B differ) by default; see
+    ``transform_to_worldview_3`` for the srf_source/srf_csv options.
+    """
     bands = list(bands or S2_BAND_CENTERS_FWHM.keys())
     if srf_weights is None:
-        srf_weights, bands = gaussian_srf_weights(aviris_wavelengths, S2_BAND_CENTERS_FWHM, bands)
+        srf_weights = _resolve_srf_weights(
+            aviris_wavelengths, sensor.upper(), bands, S2_BAND_CENTERS_FWHM,
+            srf_source, srf_csv,
+        )
     sigma_bands = [
         max((BANDS_S2_RESOLUTION[b] / resolution_src - 1) / 2, 0) for b in bands
     ]
