@@ -30,12 +30,16 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def synthetic_radiance(rng):
+def synthetic_radiance():
     """Synthetic (B, P, S) radiance with injected CH4-like absorption.
 
     Smooth background spectra + spatially-sparse absorption along a known
     template direction, mimicking plume pixels over a bright/dark albedo field.
+    Uses its OWN generator: the shared session ``rng`` is mutated by whichever
+    tests run first, which made this fixture's data depend on test selection
+    (observed as order-dependent flakiness in the Pallas parity test).
     """
+    rng = np.random.default_rng(0)
     b, p, s = 2, 512, 50
     template = -np.abs(np.sin(np.linspace(0, 3 * np.pi, s))) * 1e-5  # absorption-like
     albedo = rng.uniform(0.5, 2.0, size=(b, p, 1))
