@@ -106,6 +106,7 @@ class SegmentationModel:
         use_weight_loss: bool = True,
         loss_name: str = "BCEWithLogitsLoss",
         model_dtype=None,
+        encoder_weights: Optional[str] = "auto",
     ):
         self.input_products = list(input_products)
         self.output_products = list(output_products)
@@ -116,13 +117,47 @@ class SegmentationModel:
         self.pos_weight = float(pos_weight)
         self.use_weight_loss = bool(use_weight_loss)
         self.loss_name = loss_name
+        self.encoder_weights = encoder_weights
         self._jit_batch_with_preds = None
 
     # ------------------------------------------------------------- params
     def init(self, rng: jax.Array, sample_input: jax.Array) -> Dict[str, Any]:
-        """Initialize variables from a sample (B, C, H, W) input."""
+        """Initialize variables from a sample (B, C, H, W) input.
+
+        ImageNet encoder init (reference rule: ``encoder_weights='imagenet'``
+        iff ``in_channels == 3`` — model_module.py:244-246): with the default
+        ``encoder_weights='auto'``, a 3-channel unet_semseg model initializes
+        its MobileNetV2 encoder from a torchvision ImageNet checkpoint when
+        one is discoverable on disk (``torch_port.find_imagenet_mobilenet_v2``)
+        and falls back to random init silently otherwise (zero-egress hosts
+        can't download it). ``encoder_weights='imagenet'`` makes a missing
+        checkpoint an error; ``encoder_weights=None`` disables porting.
+        """
         x = self.normalizer.normalize_x(sample_input)
-        return self.network.init(rng, self._to_nhwc(x), train=False)
+        variables = self.network.init(rng, self._to_nhwc(x), train=False)
+        if (
+            self.encoder_weights in ("auto", "imagenet")
+            and self.model_type == "unet_semseg"
+            and len(self.input_products) == 3
+        ):
+            from starcop_tpu.models.torch_port import (
+                find_imagenet_mobilenet_v2,
+                init_encoder_from_torchvision,
+                load_torch_checkpoint,
+            )
+
+            ckpt = find_imagenet_mobilenet_v2()
+            if ckpt is not None:
+                variables = init_encoder_from_torchvision(
+                    variables, load_torch_checkpoint(ckpt)
+                )
+            elif self.encoder_weights == "imagenet":
+                raise FileNotFoundError(
+                    "encoder_weights='imagenet' but no torchvision mobilenet_v2 "
+                    "checkpoint found (set $STARCOP_TPU_IMAGENET_MOBILENETV2 or "
+                    "populate the torch hub cache)"
+                )
+        return variables
 
     # -------------------------------------------------------------- fwd
     @staticmethod

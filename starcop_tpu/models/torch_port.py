@@ -58,6 +58,47 @@ def _convbn(sd, conv_key, bn_key, depthwise=False):
     return params, stats
 
 
+def _port_encoder(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[Dict, Dict]:
+    """Port a mobilenet_v2 feature extractor under ``prefix`` ('' for a bare
+    torchvision state_dict, 'encoder.' inside an smp.Unet)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(19):
+        name = f"features_{i}"
+        if i in _STEM_FEATURES:
+            p, s = _convbn(sd, f"{prefix}features.{i}.0", f"{prefix}features.{i}.1")
+            params[name], stats[name] = p, s
+        elif i == _T1_FEATURE:
+            # t=1 block: conv.0 = depthwise ConvBNReLU, conv.1 = project, conv.2 = project bn
+            p_dw, s_dw = _convbn(
+                sd, f"{prefix}features.{i}.conv.0.0", f"{prefix}features.{i}.conv.0.1", depthwise=True
+            )
+            p_bn, s_bn = _bn(sd, f"{prefix}features.{i}.conv.2")
+            params[name] = {
+                "depthwise": p_dw,
+                "project": {"kernel": _conv_kernel(sd[f"{prefix}features.{i}.conv.1.weight"])},
+                "project_bn": p_bn,
+            }
+            stats[name] = {"depthwise": s_dw, "project_bn": s_bn}
+        else:
+            # expand (conv.0), depthwise (conv.1), project (conv.2), project bn (conv.3)
+            p_ex, s_ex = _convbn(
+                sd, f"{prefix}features.{i}.conv.0.0", f"{prefix}features.{i}.conv.0.1"
+            )
+            p_dw, s_dw = _convbn(
+                sd, f"{prefix}features.{i}.conv.1.0", f"{prefix}features.{i}.conv.1.1", depthwise=True
+            )
+            p_bn, s_bn = _bn(sd, f"{prefix}features.{i}.conv.3")
+            params[name] = {
+                "expand": p_ex,
+                "depthwise": p_dw,
+                "project": {"kernel": _conv_kernel(sd[f"{prefix}features.{i}.conv.2.weight"])},
+                "project_bn": p_bn,
+            }
+            stats[name] = {"expand": s_ex, "depthwise": s_dw, "project_bn": s_bn}
+    return params, stats
+
+
 def port_smp_mobilenetv2_unet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Convert an smp.Unet(mobilenet_v2) state_dict to MobileNetV2UNet variables.
 
@@ -65,42 +106,9 @@ def port_smp_mobilenetv2_unet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     ``SegmentationModel.apply`` / ``network.apply``.
     """
     sd = _strip_prefix(state_dict)
-    params: Dict[str, Any] = {"encoder": {}}
-    stats: Dict[str, Any] = {"encoder": {}}
-
-    for i in range(19):
-        name = f"features_{i}"
-        if i in _STEM_FEATURES:
-            p, s = _convbn(sd, f"encoder.features.{i}.0", f"encoder.features.{i}.1")
-            params["encoder"][name], stats["encoder"][name] = p, s
-        elif i == _T1_FEATURE:
-            # t=1 block: conv.0 = depthwise ConvBNReLU, conv.1 = project, conv.2 = project bn
-            p_dw, s_dw = _convbn(
-                sd, f"encoder.features.{i}.conv.0.0", f"encoder.features.{i}.conv.0.1", depthwise=True
-            )
-            p_bn, s_bn = _bn(sd, f"encoder.features.{i}.conv.2")
-            params["encoder"][name] = {
-                "depthwise": p_dw,
-                "project": {"kernel": _conv_kernel(sd[f"encoder.features.{i}.conv.1.weight"])},
-                "project_bn": p_bn,
-            }
-            stats["encoder"][name] = {"depthwise": s_dw, "project_bn": s_bn}
-        else:
-            # expand (conv.0), depthwise (conv.1), project (conv.2), project bn (conv.3)
-            p_ex, s_ex = _convbn(
-                sd, f"encoder.features.{i}.conv.0.0", f"encoder.features.{i}.conv.0.1"
-            )
-            p_dw, s_dw = _convbn(
-                sd, f"encoder.features.{i}.conv.1.0", f"encoder.features.{i}.conv.1.1", depthwise=True
-            )
-            p_bn, s_bn = _bn(sd, f"encoder.features.{i}.conv.3")
-            params["encoder"][name] = {
-                "expand": p_ex,
-                "depthwise": p_dw,
-                "project": {"kernel": _conv_kernel(sd[f"encoder.features.{i}.conv.2.weight"])},
-                "project_bn": p_bn,
-            }
-            stats["encoder"][name] = {"expand": s_ex, "depthwise": s_dw, "project_bn": s_bn}
+    enc_p, enc_s = _port_encoder(sd, "encoder.")
+    params: Dict[str, Any] = {"encoder": enc_p}
+    stats: Dict[str, Any] = {"encoder": enc_s}
 
     for i in range(5):
         block_p, block_s = {}, {}
@@ -124,6 +132,67 @@ def port_smp_mobilenetv2_unet(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         }
 
     return {"params": to_jnp(params), "batch_stats": to_jnp(stats)}
+
+
+def port_torchvision_mobilenet_v2(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Convert a BARE torchvision ``mobilenet_v2`` state_dict (ImageNet
+    release layout: ``features.*`` + ``classifier.*``) to encoder-only
+    variables {"params": {"encoder": ...}, "batch_stats": {"encoder": ...}}.
+
+    This is the weight source behind the reference's
+    ``encoder_weights='imagenet'`` rule (model_module.py:244-246 — smp
+    downloads the same torchvision ImageNet checkpoint)."""
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+        for k, v in state_dict.items()
+        if not k.startswith("classifier.")
+    }
+    enc_p, enc_s = _port_encoder(sd, "")
+
+    def to_jnp(tree):
+        import jax.numpy as jnp
+
+        return {
+            k: to_jnp(v) if isinstance(v, dict) else jnp.asarray(v) for k, v in tree.items()
+        }
+
+    return {"params": to_jnp({"encoder": enc_p}), "batch_stats": to_jnp({"encoder": enc_s})}
+
+
+def init_encoder_from_torchvision(
+    variables: Dict[str, Any], state_dict: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Fresh MobileNetV2UNet variables + torchvision ImageNet state_dict ->
+    variables with the encoder replaced (decoder/head keep their random
+    init). Input must be 3-channel: ImageNet's stem conv has 3 input
+    channels (the reference only enables this when in_channels == 3)."""
+    ported = port_torchvision_mobilenet_v2(state_dict)
+    stem = variables["params"]["encoder"]["features_0"]["conv"]["kernel"]
+    if stem.shape[2] != 3:
+        raise ValueError(
+            f"ImageNet encoder init requires 3 input channels, model has {stem.shape[2]}"
+        )
+    out = {k: dict(v) for k, v in variables.items()}
+    out["params"]["encoder"] = ported["params"]["encoder"]
+    out["batch_stats"]["encoder"] = ported["batch_stats"]["encoder"]
+    return out
+
+
+def find_imagenet_mobilenet_v2() -> "str | None":
+    """Locate a torchvision mobilenet_v2 ImageNet checkpoint on disk:
+    $STARCOP_TPU_IMAGENET_MOBILENETV2, then the torch hub cache. Returns None
+    when absent (zero-egress environments can't download it)."""
+    import glob
+    import os
+
+    explicit = os.environ.get("STARCOP_TPU_IMAGENET_MOBILENETV2")
+    if explicit and os.path.exists(explicit):
+        return explicit
+    hub = os.environ.get(
+        "TORCH_HOME", os.path.join(os.path.expanduser("~"), ".cache", "torch")
+    )
+    hits = sorted(glob.glob(os.path.join(hub, "hub", "checkpoints", "mobilenet_v2*.pth")))
+    return hits[0] if hits else None
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:

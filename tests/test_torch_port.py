@@ -53,3 +53,57 @@ def test_port_rejects_nothing_missing():
         jax.tree_util.tree_flatten_with_path(variables["params"])[0],
     ):
         assert np.shape(leaf_ref) == np.shape(leaf_got), jax.tree_util.keystr(p)
+
+
+def test_imagenet_encoder_init_rule(tmp_path, monkeypatch):
+    """torchvision-layout mobilenet_v2 state_dict -> encoder-only init, applied
+    iff in_channels == 3 (reference model_module.py:244-246)."""
+    from tests.torch_twin import MobileNetV2Features
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.models.torch_port import port_torchvision_mobilenet_v2
+
+    torch.manual_seed(1)
+    tv = MobileNetV2Features(in_channels=3).eval()
+    with torch.no_grad():
+        for m in tv.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    # bare torchvision layout: features.* (+ a classifier.* that must be ignored)
+    sd = dict(tv.state_dict())
+    sd["classifier.1.weight"] = torch.zeros(1000, 1280)
+    sd["classifier.1.bias"] = torch.zeros(1000)
+    ckpt = tmp_path / "mobilenet_v2-imagenet.pth"
+    torch.save(sd, ckpt)
+    monkeypatch.setenv("STARCOP_TPU_IMAGENET_MOBILENETV2", str(ckpt))
+
+    rgb = ["TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"]
+    model3 = SegmentationModel(rgb, model_type="unet_semseg", encoder_weights="imagenet")
+    x3 = jnp.asarray(np.random.default_rng(0).uniform(0, 60, (1, 3, 64, 64)), jnp.float32)
+    variables = model3.init(jax.random.PRNGKey(0), x3)
+
+    ported = port_torchvision_mobilenet_v2(sd)
+    got_stem = np.asarray(variables["params"]["encoder"]["features_0"]["conv"]["kernel"])
+    want_stem = np.asarray(ported["params"]["encoder"]["features_0"]["conv"]["kernel"])
+    np.testing.assert_array_equal(got_stem, want_stem)
+    got_bn = np.asarray(variables["batch_stats"]["encoder"]["features_17"]["project_bn"]["mean"])
+    want_bn = np.asarray(ported["batch_stats"]["encoder"]["features_17"]["project_bn"]["mean"])
+    np.testing.assert_array_equal(got_bn, want_bn)
+    # decoder/head remain randomly initialized (not part of the port)
+    assert "decoder_0" in variables["params"]
+    # model still runs forward
+    out = model3.apply(variables, x3, train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # 4-channel model: the auto rule does NOT port (ImageNet stem is 3-ch)
+    model4 = SegmentationModel(["mag1c"] + rgb, model_type="unet_semseg")
+    x4 = jnp.asarray(np.random.default_rng(0).uniform(0, 60, (1, 4, 64, 64)), jnp.float32)
+    v4 = model4.init(jax.random.PRNGKey(0), x4)
+    assert v4["params"]["encoder"]["features_0"]["conv"]["kernel"].shape[2] == 4
+
+    # explicit 'imagenet' with no checkpoint available -> loud error
+    monkeypatch.delenv("STARCOP_TPU_IMAGENET_MOBILENETV2")
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        SegmentationModel(rgb, model_type="unet_semseg",
+                          encoder_weights="imagenet").init(jax.random.PRNGKey(0), x3)
