@@ -151,6 +151,18 @@ def main(argv=None):
             path_save_results=os.path.join(exp_dir, "train"),
         )
         logger.info("train F1 %.4f", metrics_train.get("f1score", float("nan")))
+
+    if cfg.upload_path:
+        # Best-effort artifact upload through the storage seam (the reference
+        # wraps its gs:// upload in a broad try/except — train.py:146-150).
+        from starcop_tpu.utils import storage
+
+        try:
+            dest = os.path.join(cfg.upload_path, cfg.experiment_name, timestamp)
+            storage.put(exp_dir, dest, recursive=True)
+            logger.info("uploaded experiment artifacts to %s", dest)
+        except Exception as e:  # noqa: BLE001 — upload failure must not fail the run
+            logger.warning("artifact upload failed: %s", e)
     return 0
 
 

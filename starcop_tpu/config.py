@@ -102,6 +102,9 @@ class Config:
         default_factory=lambda: ["rgb_aviris", "mag1c", "label", "pred", "differences"]
     )
     plot_samples: int = 8
+    # Experiment-artifact upload destination (local dir or gs://... via the
+    # storage seam — reference scripts/train.py:147-148). Empty = no upload.
+    upload_path: str = ""
 
     # ------------------------------------------------------------------ I/O
     def to_dict(self) -> Dict[str, Any]:

@@ -37,17 +37,33 @@ def initialize_multihost(
     """
     import jax
 
-    if num_processes in (None, 1) and coordinator_address is None and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except (ValueError, RuntimeError):
-            return  # single-process / no cluster env: nothing to do
-    else:
+    explicit = (coordinator_address, num_processes, process_id)
+    if any(v is not None for v in explicit) and num_processes not in (None, 1):
+        if coordinator_address is None:
+            raise ValueError(
+                "multi-process initialization needs coordinator_address "
+                f"(got num_processes={num_processes})"
+            )
+        if process_id is None:
+            raise ValueError(
+                "multi-process initialization needs process_id "
+                f"(got num_processes={num_processes})"
+            )
+        if not 0 <= process_id < num_processes:
+            raise ValueError(
+                f"process_id {process_id} out of range for {num_processes} processes"
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return
+    if jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return  # single-process / no cluster env: nothing to do
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:

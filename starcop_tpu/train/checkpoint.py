@@ -79,9 +79,15 @@ def load_checkpoint_orbax(path: str, state):
 
 
 def load_checkpoint(path: str, state):
-    """Load into the structure of an existing TrainState (shape template)."""
-    with np.load(path) as data:
-        flat = {k: data[k] for k in data.files}
+    """Load into the structure of an existing TrainState (shape template).
+
+    Remote paths (gs://...) load through the storage seam, mirroring the
+    reference's fsspec-opened weight loading (model_module.py:258-266)."""
+    from starcop_tpu.utils import storage
+
+    with storage.open_file(path, "rb") as fh:
+        with np.load(fh) as data:
+            flat = {k: data[k] for k in data.files}
 
     def restore(tree, prefix):
         paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
