@@ -128,6 +128,68 @@ for _p in _BN:
     PLOTTING_FUNCTIONS.setdefault(_p, {"function": _input_channel_plotter(_p)})
 
 
+def _multi_channel_plotter(products: List[str]):
+    """False-color composite of 3 normalized input channels."""
+
+    def plot(batch, idx, ax, input_products=None):
+        chans = []
+        for p in products:
+            if p in batch:
+                chans.append(np.asarray(batch[p])[idx][0])
+            else:
+                chans.append(
+                    np.asarray(batch["input_norm"])[idx][input_products.index(p)]
+                )
+        rgb = np.stack(chans, axis=-1)
+        ax.imshow(np.clip(rgb, 0, 1), interpolation="nearest")
+
+    return plot
+
+
+# The reference's full named-product registry, entry for entry
+# (/root/reference/starcop/plot.py:98-188). Composites map to their 3 input
+# channels; single-product entries to the named normalized channel. Note: the
+# reference maps s2_b2..b4 to TOA_S2B_B1 (an upstream copy-paste slip); here
+# each s2_bN plots its own band.
+_REFERENCE_NAMED_ENTRIES: Dict[str, List[str]] = {
+    "rgb_s2a": ["TOA_S2A_B4", "TOA_S2A_B3", "TOA_S2A_B2"],
+    "swirnirred_s2a": ["TOA_S2A_B11", "TOA_S2A_B8", "TOA_S2A_B4"],
+    "aviris_ratios_first": ["ratio_aviris_2350_2310_out"],
+    "aviris_ratios_second": ["ratio_aviris_2350_2360_out"],
+    "aviris_ratios_third": ["ratio_aviris_2360_2310_out"],
+    "wv3_ratios_varon_b7b5": ["ratio_wv3_B7_B5_varon21_sum_c_out"],
+    "wv3_ratios_varon_b8b5": ["ratio_wv3_B8_B5_varon21_sum_c_out"],
+    "wv3_ratios_varon_b7b6": ["ratio_wv3_B7_B6_varon21_sum_c_out"],
+    "wv3_ratios_sanchez_b7b7mlr": ["ratio_wv3_B7_B7MLR_SanchezGarcia22_sum_c_out"],
+    "wv3_ratios_sanchez_b8b8mlr": ["ratio_wv3_B8_B8MLR_SanchezGarcia22_sum_c_out"],
+    "wv3_ratios_sanchez_b7b7mlr_v2": ["ratio_wv3_B7_B7MLR_SanchezGarcia22_simplediv"],
+    "wv3_ratios_sanchez_b8b8mlr_v2": ["ratio_wv3_B8_B8MLR_SanchezGarcia22_simplediv"],
+    "wv3_lrn_bands2band8only_60ep_512_l1": ["ratio_lrn_bands2band8only_60ep_512_l1"],
+    "wv3_mixSanchez_b7b7mlr_fromS2_9b": ["ratio_wv3_B7_B7MLR_fromS2_9bands_sum_c_out"],
+    "wv3_mixSanchez_b7b7mlr_fromS2_5b": ["ratio_wv3_B7_B7MLR_fromS2_5bands_sum_c_out"],
+    "wv3_mixSanchez_b8b8mlr_fromS2_9b": ["ratio_wv3_B8_B8MLR_fromS2_9bands_sum_c_out"],
+    "wv3_mixSanchez_b8b8mlr_fromS2_5b": ["ratio_wv3_B8_B8MLR_fromS2_5bands_sum_c_out"],
+    "s2_b1": ["TOA_S2B_B1"],
+    "s2_b2": ["TOA_S2B_B2"],
+    "s2_b3": ["TOA_S2B_B3"],
+    "s2_b4": ["TOA_S2B_B4"],
+    **{f"wv3_b{i}": [f"TOA_WV3_SWIR{i}"] for i in range(1, 9)},
+}
+
+for _name, _products in _REFERENCE_NAMED_ENTRIES.items():
+    PLOTTING_FUNCTIONS.setdefault(
+        _name,
+        {
+            "function": (
+                _multi_channel_plotter(_products)
+                if len(_products) == 3
+                else _input_channel_plotter(_products[0])
+            ),
+            "input_products": _products,
+        },
+    )
+
+
 def plot_batch(
     batch: Dict,
     input_products: Sequence[str],
