@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "emit_full_scene_mag1c_latency", "value": <seconds>,
-   "unit": "s", "vs_baseline": <speedup over the CPU float64 reference>}
+   "unit": "s", "vs_baseline": <speedup over the CPU float64 reference>,
+   "extras": {eval_tiles_per_sec, train_steps_per_sec,
+              unet_scene_forward_ms, emit_granule_to_mask_ms}}
+
+The extras are BASELINE.md's own target metrics (eval tiles/sec, raw
+granule->mask latency, train steps/s), measured by benchmarks/harness.py on
+the same chip in the same process.
 
 The headline target (BASELINE.md): >= 10x the CPU reference's full-scene EMIT
 matched-filter throughput. The scene is a synthetic EMIT-granule-sized cube
@@ -18,6 +24,7 @@ processes blocks sequentially, so per-block cost is additive). Extra context
 """
 
 import json
+import os
 import sys
 import time
 
@@ -89,6 +96,18 @@ def main():
     cpu_s = (time.time() - t0) * (nb / sample_blocks)
     print(f"CPU f64 reference (scaled from {sample_blocks}/{nb} blocks): {cpu_s:.1f}s", file=sys.stderr)
 
+    # BASELINE.md's other target metrics, on the same chip.
+    extras = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.harness import collect
+
+        for r in collect(quick=False):
+            extras[r["metric"]] = r["value"]
+            print(f"extra: {r['metric']} = {r['value']} {r.get('unit', '')}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — extras must never break the headline
+        print(f"extras failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -96,6 +115,7 @@ def main():
                 "value": round(tpu_s, 4),
                 "unit": "s",
                 "vs_baseline": round(cpu_s / tpu_s, 2),
+                "extras": extras,
             }
         )
     )

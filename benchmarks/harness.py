@@ -35,10 +35,15 @@ def _timed(fn, repeats=3):
     return float(np.median(times))
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--quick", action="store_true")
-    args = p.parse_args(argv)
+def collect(quick: bool = False):
+    """Measure all harness metrics; returns a list of result dicts (no
+    printing — ``bench.py`` embeds these in the driver JSON line)."""
+
+    class _Args:
+        pass
+
+    args = _Args()
+    args.quick = quick
 
     import jax
     import jax.numpy as jnp
@@ -134,8 +139,14 @@ def main(argv=None):
 
     t = _timed(run_granule)
     results.append({"metric": "emit_granule_to_mask_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+    return results
 
-    for r in results:
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+    for r in collect(quick=args.quick):
         print(json.dumps(r))
     return 0
 

@@ -266,6 +266,31 @@ def test_sharded_mag1c_matches_single_device():
     )
 
 
+def test_sharded_mag1c_weak_scaling_mesh_sizes():
+    """Same scene over 1/2/4/8-device meshes: the mesh size must not change
+    the result (padding/sharding invariance — BASELINE.md weak-scaling check)."""
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.parallel.scene_mag1c import sharded_mag1c_scene
+
+    scene = synthetic_scene(np.random.default_rng(5), 40, 56, n_plumes=1)
+    x = jnp.asarray(scene["radiance"])
+    tpl = jnp.asarray(scene["template"], jnp.float32)
+    outs = {}
+    for n_dev in (1, 2, 4, 8):
+        mf, alb = sharded_mag1c_scene(
+            x, tpl, None, mesh=make_mesh(n_dev), column_step=8, num_iter=4, alpha=1e-4
+        )
+        outs[n_dev] = (np.asarray(mf), np.asarray(alb))
+        assert outs[n_dev][0].shape == (40, 56)
+    ref_mf, ref_alb = outs[1]
+    for n_dev in (2, 4, 8):
+        mf, alb = outs[n_dev]
+        # partitioned reductions may reorder float32 sums; detection-equivalent
+        assert np.corrcoef(ref_mf.ravel(), mf.ravel())[0, 1] > 0.99999
+        assert ((ref_mf > 500) == (mf > 500)).mean() > 0.999
+        np.testing.assert_allclose(alb, ref_alb, rtol=1e-4)
+
+
 def test_prefetch_to_device(chip_root):
     from starcop_tpu.data.datamodule import prefetch_to_device
 
