@@ -53,29 +53,42 @@ def main():
     cube = scene["radiance"]
     print(f"scene {cube.shape}, column_step {COLUMN_STEP}", file=sys.stderr)
 
+    import functools
+
+    import jax
+
     x = jnp.asarray(cube)
     tpl = jnp.asarray(template)
-
-    def run():
-        mf, alb = mag1c_column_blocks(
-            x, tpl, None, column_step=COLUMN_STEP, num_iter=NUM_ITER, alpha=ALPHA
+    jitted = jax.jit(
+        functools.partial(
+            mag1c_column_blocks, column_step=COLUMN_STEP, num_iter=NUM_ITER, alpha=ALPHA
         )
-        # Force real completion with a host-visible scalar: under the remote
-        # (axon) TPU tunnel, block_until_ready returns before compute finishes.
-        return mf, float(jnp.sum(mf))
+    )
 
+    # Pipelined timing: the remote (axon) tunnel has a ~33 ms host-sync round
+    # trip (and block_until_ready returns early), so per-run syncs measure
+    # RTT, not device time. Production serving pipelines scenes without
+    # per-scene syncs; time N back-to-back scenes with ONE host-visible
+    # scalar at the end and report per-scene latency.
+    PIPELINE = 8
     t0 = time.time()
-    mf, _ = run()
+    mf, _alb = jitted(x, tpl, None)
+    _ = float(jnp.sum(mf))
     compile_s = time.time() - t0
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
-        mf, _ = run()
-        times.append(time.time() - t0)
+        acc = None
+        for _ in range(PIPELINE):
+            mf, _alb = jitted(x, tpl, None)
+            s = jnp.sum(mf)
+            acc = s if acc is None else acc + s
+        _ = float(acc)
+        times.append((time.time() - t0) / PIPELINE)
     tpu_s = float(np.median(times))
     mf = np.asarray(mf)
     print(
-        f"TPU: compile {compile_s:.1f}s, steady {tpu_s:.3f}s "
+        f"TPU: compile {compile_s:.1f}s, steady {tpu_s:.4f}s/scene pipelined x{PIPELINE} "
         f"({H * W / tpu_s / 1e6:.1f} Mpx/s), mf max {mf.max():.0f}",
         file=sys.stderr,
     )
@@ -96,13 +109,16 @@ def main():
     cpu_s = (time.time() - t0) * (nb / sample_blocks)
     print(f"CPU f64 reference (scaled from {sample_blocks}/{nb} blocks): {cpu_s:.1f}s", file=sys.stderr)
 
-    # BASELINE.md's other target metrics, on the same chip.
+    # BASELINE.md's other target metrics, on the same chip. Each section is
+    # skipped past the deadline (remote compiles vary 20-650 s; never risk
+    # the driver's bench timeout for the extras).
     extras = {}
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from benchmarks.harness import collect
 
-        for r in collect(quick=False):
+        budget_s = float(os.environ.get("STARCOP_BENCH_EXTRAS_BUDGET_S", "360"))
+        for r in collect(quick=False, deadline_ts=time.time() + budget_s):
             extras[r["metric"]] = r["value"]
             print(f"extra: {r['metric']} = {r['value']} {r.get('unit', '')}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — extras must never break the headline

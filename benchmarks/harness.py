@@ -10,8 +10,9 @@ Reports (JSON lines to stdout, one per metric):
   * train_steps_per_sec — batch-32 128x128 training steps/sec;
   * unet_scene_forward_ms — one reflect-padded whole-scene forward.
 
-All timings force completion with a host-visible scalar (the remote TPU
-tunnel's block_until_ready returns early).
+All timings are pipelined (N executions, ONE host-visible scalar at the end,
+total/N — see ``_timed``): the remote TPU tunnel costs ~33 ms per host sync
+and its block_until_ready returns early, so per-run syncs measure RTT.
 """
 
 import os as _os, sys as _sys
@@ -25,25 +26,49 @@ import time
 import numpy as np
 
 
-def _timed(fn, repeats=3):
-    fn()  # warm
+def _timed(fn, repeats=3, pipeline=8):
+    """Per-run seconds, pipelined: enqueue ``pipeline`` dependent executions
+    and force ONE host-visible scalar at the end.
+
+    The remote (axon) TPU tunnel has a ~33 ms host-sync round trip; timing
+    with a sync per run reports RTT, not device time (and production serving
+    pipelines scenes without per-scene syncs). Executions on one device
+    serialize, so total/pipeline is the true per-run device latency plus
+    amortized dispatch. ``fn`` must return a jax array (NOT force a host
+    sync itself).
+    """
+    import jax.numpy as jnp
+
+    float(jnp.sum(fn()))  # warm/compile
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        fn()
-        times.append(time.time() - t0)
+        acc = None
+        for _ in range(pipeline):
+            s = jnp.sum(fn())
+            acc = s if acc is None else acc + s
+        float(acc)  # one sync for the whole chain
+        times.append((time.time() - t0) / pipeline)
     return float(np.median(times))
 
 
-def collect(quick: bool = False):
+def collect(quick: bool = False, deadline_ts: float = None):
     """Measure all harness metrics; returns a list of result dicts (no
-    printing — ``bench.py`` embeds these in the driver JSON line)."""
+    printing — ``bench.py`` embeds these in the driver JSON line).
+
+    ``deadline_ts``: absolute time.time() budget — remote-tunnel compiles
+    vary 20-650 s, so each section is skipped once past the deadline rather
+    than risking the driver's bench timeout.
+    """
 
     class _Args:
         pass
 
     args = _Args()
     args.quick = quick
+
+    def past_deadline():
+        return deadline_ts is not None and time.time() > deadline_ts
 
     import jax
     import jax.numpy as jnp
@@ -66,50 +91,14 @@ def collect(quick: bool = False):
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
     def run_eval():
-        return float(jnp.sum(fwd(variables, x_eval)))
+        return fwd(variables, x_eval)
 
     t = _timed(run_eval)
     results.append({"metric": "eval_tiles_per_sec", "value": round(batch_eval / t, 2), "unit": "tiles/s"})
 
-    # ---- train steps/sec: batch 32 @ 128x128 ------------------------------
-    bsz = 8 if args.quick else 32
-    x_tr = jnp.asarray(rng.uniform(0, 100, (bsz, 4, 128, 128)), jnp.float32)
-    batch = {
-        "input": x_tr,
-        "output": jnp.asarray((rng.uniform(size=(bsz, 1, 128, 128)) > 0.9).astype(np.float32)),
-        "weight_loss": jnp.ones((bsz, 1, 128, 128), jnp.float32),
-    }
-    state, tx = create_train_state(model, jax.random.PRNGKey(0), x_tr[:1])
-    train_step = make_train_step(model, tx)
-    lr = jnp.asarray(1e-4, jnp.float32)
-
-    state_holder = {"state": state}
-
-    def run_train():
-        new_state, loss = train_step(state_holder["state"], batch, lr)
-        state_holder["state"] = new_state
-        return float(loss)
-
-    t = _timed(run_train)
-    results.append({"metric": "train_steps_per_sec", "value": round(1.0 / t, 2),
-                    "unit": f"steps/s (batch {bsz})"})
-
-    # ---- whole-scene forward ----------------------------------------------
-    from starcop_tpu.ops.padding import padded_apply
-
-    scene = jnp.asarray(rng.uniform(0, 100, (4, 1280, 1242)), jnp.float32)
-
-    @jax.jit
-    def scene_fwd(s):
-        return padded_apply(s, lambda b: model.apply(variables, b, train=False))
-
-    def run_scene():
-        return float(jnp.sum(scene_fwd(scene)))
-
-    t = _timed(run_scene)
-    results.append({"metric": "unet_scene_forward_ms", "value": round(t * 1e3, 1), "unit": "ms"})
-
     # ---- raw granule -> plume mask, end to end (mag1c + renorm + U-Net) ---
+    if past_deadline():
+        return results
     from starcop_tpu.data.emit import renormalize_emit_to_aviris
     from starcop_tpu.data.synthetic import synthetic_scene
     from starcop_tpu.ops.ch4_template import generate_template_from_bands
@@ -135,10 +124,74 @@ def collect(quick: bool = False):
 
     def run_granule():
         pred, mf = granule_fused(cube_d, rgb_dev)
-        return float(jnp.sum(pred))
+        return pred
 
     t = _timed(run_granule)
     results.append({"metric": "emit_granule_to_mask_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+
+    # ---- train steps/sec: batch 32 @ 128x128 ------------------------------
+    if past_deadline():
+        return results
+    bsz = 8 if args.quick else 32
+    x_tr = jnp.asarray(rng.uniform(0, 100, (bsz, 4, 128, 128)), jnp.float32)
+    batch = {
+        "input": x_tr,
+        "output": jnp.asarray((rng.uniform(size=(bsz, 1, 128, 128)) > 0.9).astype(np.float32)),
+        "weight_loss": jnp.ones((bsz, 1, 128, 128), jnp.float32),
+    }
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), x_tr[:1])
+    train_step = make_train_step(model, tx)
+    lr = jnp.asarray(1e-4, jnp.float32)
+
+    state_holder = {"state": state}
+
+    def run_train():
+        new_state, loss = train_step(state_holder["state"], batch, lr)
+        state_holder["state"] = new_state
+        return loss  # real steps chain through the carried state
+
+    t = _timed(run_train)
+    results.append({"metric": "train_steps_per_sec", "value": round(1.0 / t, 2),
+                    "unit": f"steps/s (batch {bsz})"})
+
+    # ---- whole-scene forward ----------------------------------------------
+    if past_deadline():
+        return results
+    from starcop_tpu.ops.padding import padded_apply
+
+    scene = jnp.asarray(rng.uniform(0, 100, (4, 1280, 1242)), jnp.float32)
+
+    @jax.jit
+    def scene_fwd(s):
+        return padded_apply(s, lambda b: model.apply(variables, b, train=False))
+
+    def run_scene():
+        return scene_fwd(scene)
+
+    t = _timed(run_scene)
+    results.append({"metric": "unet_scene_forward_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+
+    # ---- full-scene matched filter, bf16 streaming variant -----------------
+    # Only when explicitly requested (one more large compile; the driver
+    # bench keeps its compile budget for the target metrics).
+    if _os.environ.get("STARCOP_BENCH_BF16") == "1" and not past_deadline():
+        import functools
+
+        from starcop_tpu.ops.mag1c import mag1c_column_blocks
+
+        mf_bf16 = jax.jit(
+            functools.partial(
+                mag1c_column_blocks, column_step=54, num_iter=30, alpha=1e-4,
+                stream_dtype=jnp.bfloat16,
+            )
+        )
+
+        def run_mf_bf16():
+            mf, _ = mf_bf16(cube_d, tpl_d, None)
+            return mf
+
+        t = _timed(run_mf_bf16)
+        results.append({"metric": "full_scene_mag1c_bf16_ms", "value": round(t * 1e3, 1), "unit": "ms"})
     return results
 
 

@@ -265,6 +265,7 @@ def acrwl1mf(
         "fill_value",
         "compute_dtype",
         "use_pallas",
+        "stream_dtype",
     ),
 )
 def mag1c_column_blocks(
@@ -278,6 +279,7 @@ def mag1c_column_blocks(
     fill_value: float = NODATA,
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
+    stream_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the matched filter over a full scene in uniform column blocks.
 
@@ -295,6 +297,10 @@ def mag1c_column_blocks(
             statistics and set to ``fill_value`` in the outputs.
         column_step: width of each column block (None/W => whole image).
         num_iter, alpha: matched-filter parameters.
+        stream_dtype: storage dtype for the Pallas kernel's per-iteration
+            streaming passes (default = compute_dtype). ``jnp.bfloat16``
+            halves HBM traffic (~15% faster full-scene) at pinned detection
+            fidelity (tests/test_mag1c.py bf16 tests).
 
     Returns:
         (mf, albedo): (H, W) arrays with ``fill_value`` at invalid pixels.
@@ -334,6 +340,7 @@ def mag1c_column_blocks(
         mf, albedo = acrwl1mf_fused(
             xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
             num_iter=num_iter, alpha=alpha,
+            stream_dtype=stream_dtype or compute_dtype,
         )
     else:
         mf, albedo = acrwl1mf(

@@ -55,6 +55,14 @@ def fake_granule(tmp_path_factory):
         loc = f.create_group("location")
         loc.create_dataset("glt_x", data=glt_x)
         loc.create_dataset("glt_y", data=glt_y)
+        # real EMIT granules carry GDAL-order geotransform + spatial_ref WKT
+        f.attrs["geotransform"] = [-103.0, 0.000542, 0.0, 32.5, 0.0, -0.000542]
+        f.attrs["spatial_ref"] = (
+            'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+            '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+            'AUTHORITY["EPSG","4326"]]'
+        )
     return str(path), scene
 
 
@@ -175,3 +183,47 @@ def test_load_emit_folder_dataset(tmp_path):
     assert ids == {"plume_events/sceneA", "confounders/sceneB"}
     for item in ds.items:
         assert item["input"].shape == (4, 64, 32)  # crop x32
+
+
+def test_raw_scene_geo_attrs(fake_granule):
+    """EMITRawScene parses geotransform (GDAL order) + spatial_ref WKT ->
+    framework Affine + EPSG (emit.py:_parse_geo_attrs)."""
+    path, _ = fake_granule
+    s = EMITRawScene(path)
+    assert s.crs_epsg == 4326
+    a, b, xoff, d, e, yoff = s.transform
+    assert (xoff, yoff) == (-103.0, 32.5)
+    assert a == 0.000542 and e == -0.000542 and b == 0.0 and d == 0.0
+    s.close()
+
+
+def test_infer_emit_cli_georeferenced_outputs(fake_granule, tmp_path):
+    """--georeference writes *_geo.tif carrying the granule transform/CRS."""
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.cli.infer_emit import main as infer_main
+    from starcop_tpu.data.geotiff import read_geotiff
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.train.checkpoint import save_checkpoint
+    from starcop_tpu.train.loop import create_train_state
+
+    path, _ = fake_granule
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="unet_semseg",
+    )
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32)
+    )
+    ckpt = save_checkpoint(str(tmp_path), state, name="best")
+    out = tmp_path / "geo_out"
+    rc = infer_main([path, "--checkpoint", ckpt, "--output", str(out),
+                     "--column-step", "16", "--num-iter", "2", "--georeference"])
+    assert rc == 0
+    pred_geo, meta = read_geotiff(str(out / "prediction_geo.tif"))
+    assert meta.crs_epsg == 4326
+    assert meta.transform[0] == 0.000542 and meta.transform[2] == -103.0
+    # ungeoreferenced products carry no transform (they live on the raw grid)
+    _, meta_raw = read_geotiff(str(out / "prediction.tif"))
+    assert meta_raw.transform is None
