@@ -92,6 +92,7 @@ def emit_granule_to_mask(
     num_iter: int = 30,
     alpha: float = 1e-4,
     valid_mask: Optional[jax.Array] = None,
+    stream_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device-resident raw-granule -> plume-mask path (no host round trips).
 
@@ -112,6 +113,8 @@ def emit_granule_to_mask(
         rgb_chw: (3, H, W) radiance at the RGB picks.
         template: (S,) target spectrum.
         model_apply: (1, 4, H', W') normalized input -> (1, 1, H', W') logits.
+        stream_dtype: matched-filter streaming dtype (jnp.bfloat16 halves the
+            filter's HBM traffic at pinned detection fidelity; default f32).
 
     Returns:
         (prediction sigmoid (H, W), mf (H, W)) as device arrays.
@@ -120,7 +123,8 @@ def emit_granule_to_mask(
     from starcop_tpu.ops.padding import padded_apply
 
     mf, _ = mag1c_column_blocks(
-        cube, template, valid_mask, column_step=column_step, num_iter=num_iter, alpha=alpha
+        cube, template, valid_mask, column_step=column_step, num_iter=num_iter,
+        alpha=alpha, stream_dtype=stream_dtype,
     )
     mf_clean = jnp.where(mf == NODATA, 0.0, mf)
     m_n = jnp.clip(mf_clean / MAGIC_DIV_BY, 0, 2) * MAGIC_MULT_BY

@@ -136,6 +136,7 @@ def emit_serving_pipeline(
     num_iter: int = 30,
     georeference: bool = False,
     queue_size: int = 2,
+    stream_dtype=None,
 ) -> ScenePipeline:
     """Ready-made pipeline: raw EMIT granule paths -> mag1c + plume masks.
 
@@ -184,6 +185,7 @@ def emit_serving_pipeline(
                 lambda c, r, v: emit_granule_to_mask(
                     c, r, tpl_dev, model_apply,
                     column_step=column_step, num_iter=num_iter, valid_mask=v,
+                    stream_dtype=stream_dtype,
                 )
             )
         pred_d, mf_d = fused_cache[key](
