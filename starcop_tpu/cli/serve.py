@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--bf16-stream", action="store_true",
                    help="bf16 matched-filter streaming (~15%% faster scenes; "
                         "detection fidelity pinned by tests/test_mag1c.py)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="serve scenes round-robin across N chips (scene-level "
+                        "data parallelism; linear scaling, zero collectives)")
     args = p.parse_args(argv)
 
     from starcop_tpu.models import SegmentationModel
@@ -42,6 +45,7 @@ def main(argv=None):
     )
     variables = load_pretrained_variables(args.checkpoint)
 
+    import jax
     import jax.numpy as jnp
 
     pipeline = emit_serving_pipeline(
@@ -51,6 +55,7 @@ def main(argv=None):
         num_iter=args.num_iter,
         georeference=args.georeference,
         stream_dtype=jnp.bfloat16 if args.bf16_stream else None,
+        devices=jax.devices()[: args.devices] if args.devices > 1 else None,
     )
 
     processed = set()

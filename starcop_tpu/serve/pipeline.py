@@ -39,32 +39,41 @@ class SceneResult:
 
 
 class ScenePipeline:
-    """Three-stage threaded pipeline over an iterable of scene descriptors.
+    """Threaded read | compute | write pipeline over scene descriptors.
 
     Args:
         read_fn: name -> payload dict (host IO; runs in the reader thread).
-        compute_fn: payload dict -> outputs dict (device compute; runs in the
-            compute thread — one thread keeps the device dispatch ordered).
+        compute_fn: payload dict -> outputs dict (device compute; one compute
+            thread keeps single-device dispatch ordered). For MULTI-CHIP
+            serving pass ``compute_fns`` instead: one callable per device —
+            scenes are independent, so scene-level round-robin across chips
+            is the natural parallel axis (no collectives, linear scaling);
+            each worker thread owns one chip and drains the shared read
+            queue.
         write_fn: optional (name, outputs) -> None (host IO; writer thread).
         queue_size: bounded stage queues (backpressure; default 2 = double
-            buffering).
+            buffering per compute worker).
     """
 
     def __init__(
         self,
         read_fn: Callable[[str], Dict],
-        compute_fn: Callable[[Dict], Dict],
+        compute_fn: Optional[Callable[[Dict], Dict]] = None,
         write_fn: Optional[Callable[[str, Dict], None]] = None,
         queue_size: int = 2,
+        compute_fns: Optional[List[Callable[[Dict], Dict]]] = None,
     ):
+        if (compute_fn is None) == (compute_fns is None):
+            raise ValueError("Provide exactly one of compute_fn / compute_fns")
         self.read_fn = read_fn
-        self.compute_fn = compute_fn
+        self.compute_fns = list(compute_fns) if compute_fns is not None else [compute_fn]
         self.write_fn = write_fn
         self.queue_size = queue_size
 
     def run(self, names: Iterable[str]) -> List[SceneResult]:
-        read_q: queue.Queue = queue.Queue(maxsize=self.queue_size)
-        write_q: queue.Queue = queue.Queue(maxsize=self.queue_size)
+        n_workers = len(self.compute_fns)
+        read_q: queue.Queue = queue.Queue(maxsize=self.queue_size * n_workers)
+        write_q: queue.Queue = queue.Queue(maxsize=self.queue_size * n_workers)
         results: List[SceneResult] = []
         results_lock = threading.Lock()
 
@@ -78,9 +87,10 @@ class ScenePipeline:
                     logger.exception("read failed for %s", name)
                     with results_lock:
                         results.append(SceneResult(name, {}, error=f"read: {e}"))
-            read_q.put(_SENTINEL)
+            for _ in range(n_workers):
+                read_q.put(_SENTINEL)
 
-        def computer():
+        def computer(fn):
             while True:
                 item = read_q.get()
                 if item is _SENTINEL:
@@ -89,7 +99,7 @@ class ScenePipeline:
                 name, payload, t_read = item
                 t0 = time.time()
                 try:
-                    outputs = self.compute_fn(payload)
+                    outputs = fn(payload)
                     write_q.put((name, outputs, {"read_s": t_read, "compute_s": time.time() - t0}))
                 except Exception as e:  # noqa: BLE001
                     logger.exception("compute failed for %s", name)
@@ -97,10 +107,12 @@ class ScenePipeline:
                         results.append(SceneResult(name, {}, error=f"compute: {e}"))
 
         def writer():
-            while True:
+            done_workers = 0
+            while done_workers < n_workers:
                 item = write_q.get()
                 if item is _SENTINEL:
-                    return
+                    done_workers += 1
+                    continue
                 name, outputs, timings = item
                 t0 = time.time()
                 try:
@@ -114,7 +126,12 @@ class ScenePipeline:
                     with results_lock:
                         results.append(SceneResult(name, outputs, timings, error=f"write: {e}"))
 
-        threads = [threading.Thread(target=f, daemon=True) for f in (reader, computer, writer)]
+        threads = [threading.Thread(target=reader, daemon=True)]
+        threads += [
+            threading.Thread(target=computer, args=(fn,), daemon=True)
+            for fn in self.compute_fns
+        ]
+        threads += [threading.Thread(target=writer, daemon=True)]
         t_start = time.time()
         for t in threads:
             t.start()
@@ -123,8 +140,8 @@ class ScenePipeline:
         wall = time.time() - t_start
         ok = [r for r in results if r.error is None]
         logger.info(
-            "pipeline: %d scenes (%d ok) in %.2fs (%.2fs/scene)",
-            len(results), len(ok), wall, wall / max(len(results), 1),
+            "pipeline: %d scenes (%d ok, %d workers) in %.2fs (%.2fs/scene)",
+            len(results), len(ok), n_workers, wall, wall / max(len(results), 1),
         )
         return results
 
@@ -137,12 +154,19 @@ def emit_serving_pipeline(
     georeference: bool = False,
     queue_size: int = 2,
     stream_dtype=None,
+    devices: Optional[List] = None,
 ) -> ScenePipeline:
     """Ready-made pipeline: raw EMIT granule paths -> mag1c + plume masks.
 
     Device compute materializes results to numpy inside the compute stage
     (forcing completion so the pipeline's backpressure reflects real device
     time, not async dispatch).
+
+    ``devices``: list of jax devices for MULTI-CHIP serving — scenes are
+    independent, so each chip gets its own compute worker draining the shared
+    queue (scene-level data parallelism: zero collectives, linear scaling
+    with chip count). Default: single compute worker on the default device,
+    with the host->device upload started in the reader stage for overlap.
     """
     import jax
     import jax.numpy as jnp
@@ -151,47 +175,67 @@ def emit_serving_pipeline(
     from starcop_tpu.ops.ch4_template import generate_template_from_bands
     from starcop_tpu.scenes.emit_pipeline import emit_granule_to_mask
 
-    # One fused jitted program per (template, shape); granules from the same
-    # sensor share shapes, so the cache hits after the first scene.
-    fused_cache: Dict = {}
+    multi = devices is not None and len(devices) > 1
 
     def read_fn(path: str) -> Dict:
         scene = EMITRawScene(path)
         sel = scene.band_slice()
         cube = scene.read_bands(sel)
         payload = {
-            # Start the (async) host->device transfers in the reader stage so
-            # scene N+1's upload overlaps scene N's compute — the upload is
-            # the largest per-scene cost on bandwidth-limited links.
-            "cube": jax.device_put(cube),
             "wavelengths": scene.wavelengths[sel],
             "fwhm": scene.fwhm[sel],
-            "valid": jax.device_put(~scene.invalid_mask(cube)),
-            "rgb": jax.device_put(np.moveaxis(scene.read_rgb(), -1, 0)),
             "glt": (scene.glt_x, scene.glt_y, scene.fill_value) if georeference else None,
             "transform": scene.transform,
             "crs_epsg": scene.crs_epsg,
         }
+        raw = {
+            "cube": cube,
+            "valid": ~scene.invalid_mask(cube),
+            "rgb": np.moveaxis(scene.read_rgb(), -1, 0),
+        }
+        if multi:
+            # Device unknown until a worker claims the scene: hand over host
+            # arrays (uploads to different chips then proceed in parallel).
+            payload.update(raw)
+        else:
+            # Start the (async) host->device transfers in the reader stage so
+            # scene N+1's upload overlaps scene N's compute — the upload is
+            # the largest per-scene cost on bandwidth-limited links.
+            payload.update({k: jax.device_put(v) for k, v in raw.items()})
         scene.close()
         return payload
 
-    def compute_fn(payload: Dict) -> Dict:
-        wl = payload["wavelengths"]
-        key = (payload["cube"].shape, round(float(wl[0]), 3), round(float(wl[-1]), 3))
-        if key not in fused_cache:
-            template = generate_template_from_bands(wl, payload["fwhm"])[:, 1]
-            tpl_dev = jnp.asarray(template, jnp.float32)
-            fused_cache[key] = jax.jit(
-                lambda c, r, v: emit_granule_to_mask(
-                    c, r, tpl_dev, model_apply,
-                    column_step=column_step, num_iter=num_iter, valid_mask=v,
-                    stream_dtype=stream_dtype,
+    def make_compute_fn(device=None) -> Callable[[Dict], Dict]:
+        # One fused jitted program per (template, shape) per worker; granules
+        # from the same sensor share shapes, so the cache hits after the
+        # first scene on each chip.
+        fused_cache: Dict = {}
+
+        def compute_fn(payload: Dict) -> Dict:
+            wl = payload["wavelengths"]
+            key = (payload["cube"].shape, round(float(wl[0]), 3), round(float(wl[-1]), 3))
+            if key not in fused_cache:
+                template = generate_template_from_bands(wl, payload["fwhm"])[:, 1]
+                tpl_dev = jnp.asarray(template, jnp.float32)
+                fused_cache[key] = jax.jit(
+                    lambda c, r, v: emit_granule_to_mask(
+                        c, r, tpl_dev, model_apply,
+                        column_step=column_step, num_iter=num_iter, valid_mask=v,
+                        stream_dtype=stream_dtype,
+                    )
                 )
-            )
-        pred_d, mf_d = fused_cache[key](
-            payload["cube"], payload["rgb"], payload["valid"]
-        )
-        pred, mf = np.asarray(pred_d), np.asarray(mf_d)
+            cube, rgb, valid = payload["cube"], payload["rgb"], payload["valid"]
+            if device is not None:
+                cube = jax.device_put(cube, device)
+                rgb = jax.device_put(rgb, device)
+                valid = jax.device_put(valid, device)
+            pred_d, mf_d = fused_cache[key](cube, rgb, valid)
+            pred, mf = np.asarray(pred_d), np.asarray(mf_d)
+            return _finalize_outputs(payload, pred, mf)
+
+        return compute_fn
+
+    def _finalize_outputs(payload: Dict, pred, mf) -> Dict:
         out = {"mag1c": mf, "prediction": pred}
         nodata = {"mag1c": -9999.0}
         if payload["glt"] is not None:
@@ -231,4 +275,11 @@ def emit_serving_pipeline(
                 descriptions=["CH4 Absorption (ppm x m)" if "mag1c" in key else "plume probability"],
             )
 
-    return ScenePipeline(read_fn, compute_fn, write_fn, queue_size=queue_size)
+    if multi:
+        return ScenePipeline(
+            read_fn,
+            compute_fns=[make_compute_fn(d) for d in devices],
+            write_fn=write_fn,
+            queue_size=queue_size,
+        )
+    return ScenePipeline(read_fn, make_compute_fn(), write_fn, queue_size=queue_size)

@@ -125,3 +125,63 @@ def test_emit_serving_pipeline_end_to_end(tmp_path):
         assert pred.shape == (1, 64, 48) and mag1c.shape == (1, 64, 48)
         assert np.all((pred >= 0) & (pred <= 1))
         assert meta.nodata == -9999.0
+
+
+def test_emit_serving_pipeline_multichip(tmp_path):
+    """Scene-parallel serving across devices: one compute worker per chip
+    draining a shared queue; identical outputs regardless of which chip
+    computed a scene."""
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.geotiff import read_geotiff
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+
+    devices = jax.devices()
+    assert len(devices) >= 4  # conftest provisions 8 virtual CPU devices
+
+    rng = np.random.default_rng(0)
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    paths = []
+    for i in range(5):
+        scene = synthetic_scene(np.random.default_rng(i), 64, 48, n_plumes=1)
+        cube = rng.uniform(1, 8, size=(64, 48, len(wl))).astype(np.float32)
+        swir = (wl >= 2122) & (wl <= 2488)
+        idx = np.linspace(0, scene["radiance"].shape[-1] - 1, swir.sum()).astype(int)
+        cube[..., swir] = scene["radiance"][..., idx]
+        path = tmp_path / f"EMIT_mc_{i}.nc"
+        with h5py.File(path, "w") as f:
+            d = f.create_dataset("radiance", data=cube)
+            d.attrs["_FillValue"] = [-9999.0]
+            g = f.create_group("sensor_band_parameters")
+            g.create_dataset("wavelengths", data=wl)
+            g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+        paths.append(str(path))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    out_multi = tmp_path / "multi"
+    pipeline = emit_serving_pipeline(
+        apply_fn, str(out_multi), column_step=16, num_iter=3, devices=devices[:4]
+    )
+    results = pipeline.run(paths)
+    assert len(results) == 5 and all(r.error is None for r in results)
+
+    # single-device reference outputs match the multi-chip ones exactly
+    out_single = tmp_path / "single"
+    pipeline1 = emit_serving_pipeline(
+        apply_fn, str(out_single), column_step=16, num_iter=3
+    )
+    pipeline1.run(paths[:1])
+    name = os.path.splitext(os.path.basename(paths[0]))[0]
+    a, _ = read_geotiff(str(out_multi / name / "prediction.tif"))
+    b, _ = read_geotiff(str(out_single / name / "prediction.tif"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
