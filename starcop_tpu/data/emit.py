@@ -178,6 +178,32 @@ class EMITEvalDataset:
         return self.items[idx]
 
 
+class EMITDataModule:
+    """Eval-only datamodule over the EMIT folder layout (reference
+    EMITDataModule, emit_as_datamodule.py:27-116: scans plume_events/ +
+    confounders/, exposes only a test loader at batch_size=1)."""
+
+    def __init__(self, root: str, batch_size: int = 1):
+        self.root = root
+        self.batch_size = batch_size
+        self._dataset: Optional[EMITEvalDataset] = None
+
+    def setup(self) -> "EMITDataModule":
+        if self._dataset is None:
+            self._dataset = load_emit_folder_dataset(self.root)
+        return self
+
+    @property
+    def dataset(self) -> EMITEvalDataset:
+        self.setup()
+        return self._dataset
+
+    def test_loader(self):
+        from starcop_tpu.data.datamodule import BatchLoader
+
+        return BatchLoader(self.dataset, batch_size=self.batch_size)
+
+
 def load_emit_folder_dataset(root: str) -> EMITEvalDataset:
     """Scan plume_events/ + confounders/ folders for per-scene products.
 

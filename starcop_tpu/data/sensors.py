@@ -269,7 +269,16 @@ def transform_to_srf(
     """
     h, w, k = aviris_cube.shape
     wts = jnp.asarray(weights, aviris_cube.dtype)
-    out = jnp.einsum("hwk,kb->bhw", aviris_cube, wts, preferred_element_type=aviris_cube.dtype)
+    # precision=highest: the TPU MXU's default f32 matmul rounds through
+    # bf16 (~1e-3 relative error); band aggregation is tiny FLOPs, so buy
+    # full f32 accuracy for the radiometry.
+    out = jnp.einsum(
+        "hwk,kb->bhw",
+        aviris_cube,
+        wts,
+        preferred_element_type=aviris_cube.dtype,
+        precision="highest",
+    )
     if valid_mask is not None:
         out = jnp.where(valid_mask[None], out, fill_value)
     if scale != 1.0 or sigma_bands is not None:

@@ -227,3 +227,23 @@ def test_infer_emit_cli_georeferenced_outputs(fake_granule, tmp_path):
     # ungeoreferenced products carry no transform (they live on the raw grid)
     _, meta_raw = read_geotiff(str(out / "prediction.tif"))
     assert meta_raw.transform is None
+
+
+def test_emit_datamodule(tmp_path):
+    """EMITDataModule parity surface (reference emit_as_datamodule.py:27-116):
+    folder scan + test loader at batch_size=1."""
+    from starcop_tpu.data.emit import EMITDataModule
+
+    rng = np.random.default_rng(0)
+    a = tmp_path / "plume_events" / "sceneA"
+    a.mkdir(parents=True)
+    np.save(a / "mag1c.npy", rng.uniform(0, 480, (64, 48)).astype(np.float32))
+    np.save(a / "rgb.npy", rng.uniform(0, 40, (64, 48, 3)).astype(np.float32))
+    np.save(a / "label.npy", (rng.uniform(size=(64, 48)) > 0.97).astype(np.float32))
+
+    dm = EMITDataModule(str(tmp_path))
+    batches = list(dm.test_loader())
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["input"].shape == (1, 4, 64, 32)
+    assert b["id"] == ["plume_events/sceneA"]
