@@ -63,6 +63,10 @@ class ModelConfig:
     loss: str = "BCEWithLogitsLoss"
     pos_weight: float = 15.0
     dtype: str = "float32"  # compute dtype: float32 | bfloat16 (params stay f32)
+    # 'auto' = ImageNet encoder init iff 3 input channels and a torchvision
+    # checkpoint is discoverable (the reference rule, model_module.py:244-246);
+    # 'imagenet' = required; 'none' = always random init.
+    encoder_weights: str = "auto"
 
     def resolve_dtype(self):
         """Map the dtype string to a jax dtype (None = default float32)."""

@@ -208,6 +208,15 @@ def write_geotiff(
         raise ValueError(f"Expected (H, W) or (C, H, W), got {array.shape}")
     if arr.dtype not in _DTYPE_TO_TIFF:
         arr = arr.astype(np.float32)
+    # Classic TIFF offsets are 32-bit; refuse early on data that cannot fit
+    # even before compression is attempted (compressed output is checked
+    # again at layout time).
+    if not compress and arr.nbytes * (4 / 3) > 0xFFFFFFFF:
+        raise ValueError(
+            f"Raster of {arr.nbytes / 1e9:.1f} GB exceeds classic TIFF's "
+            "32-bit offsets. Split the raster (e.g. per-band files via "
+            "save_scene_bands) or enable compression."
+        )
     meta = GeoMeta(
         transform=transform,
         crs_epsg=crs_epsg,
@@ -250,6 +259,12 @@ def write_geotiff(
             tile_cursor += _padded_len(len(blob))
         tile_offsets_per_ifd.append(offs)
 
+    if tile_cursor > 0xFFFFFFFF:
+        raise ValueError(
+            f"Raster would produce a {tile_cursor / 1e9:.1f} GB file; classic "
+            "TIFF offsets are 32-bit. Split the raster (e.g. per-band files "
+            "via save_scene_bands) or store uncompressed bands separately."
+        )
     out = bytearray(header)
     for i, (entries, tiles) in enumerate(ifds):
         entries = _finalize_entries(entries, tile_offsets_per_ifd[i], [len(b) for b in tiles])
@@ -355,15 +370,29 @@ def _serialize_ifd(entries, ifd_offset: int, next_ifd_offset: int) -> bytes:
 
 
 class GeoTIFFReader:
-    """Windowed reader over a (this writer's or GDAL's) tiled/striped TIFF."""
+    """Windowed reader over a (this writer's or GDAL's) tiled/striped TIFF.
+
+    Lazy by design: only the header + IFDs are parsed up front (one small
+    read); tile/strip payloads are fetched with seeks on demand, so windowed
+    chip reads over scene-sized rasters cost O(window), not O(file) — the
+    chip cache reads hundreds of windows per scene product.
+    """
+
+    # IFDs + external tag data live at the front of files this writer
+    # produces; 64 KiB covers them for any practical raster.
+    _HEAD = 65536
 
     def __init__(self, path: str):
         self.path = path
-        with open(path, "rb") as fh:
-            self._buf = fh.read()
+        self._fh = open(path, "rb")
+        self._buf = self._fh.read(self._HEAD)
         order, magic, first_ifd = struct.unpack_from("<2sHI", self._buf, 0)
         if order != b"II" or magic != 42:
             raise ValueError(f"Not a little-endian classic TIFF: {path}")
+        if first_ifd + 4 > len(self._buf):
+            # IFDs at the end of the file (some external writers): read all.
+            self._fh.seek(0)
+            self._buf = self._fh.read()
         self._ifds: List[Dict[int, Tuple[int, list]]] = []
         off = first_ifd
         while off:
@@ -379,25 +408,45 @@ class GeoTIFFReader:
         self.shape = (self.count, self.height, self.width)
         self.overview_count = len(self._ifds) - 1
 
+    def _bytes(self, offset: int, size: int) -> bytes:
+        """File bytes [offset, offset+size): from the header cache when
+        covered, else a seek+read."""
+        if offset + size <= len(self._buf):
+            return self._buf[offset : offset + size]
+        self._fh.seek(offset)
+        return self._fh.read(size)
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
+
     def _parse_ifd(self, off: int):
-        (n,) = struct.unpack_from("<H", self._buf, off)
+        entries = self._bytes(off, 2 + 12 * 4096 + 4)  # generous upper bound
+        (n,) = struct.unpack_from("<H", entries, 0)
         ifd: Dict[int, Tuple[int, list]] = {}
         for i in range(n):
-            tag, ttype, count = struct.unpack_from("<HHI", self._buf, off + 2 + 12 * i)
-            value_off = off + 2 + 12 * i + 8
+            tag, ttype, count = struct.unpack_from("<HHI", entries, 2 + 12 * i)
             if ttype not in _TYPE_SIZE:
                 continue
             size = count * _TYPE_SIZE[ttype]
             if size > 4:
-                (value_off,) = struct.unpack_from("<I", self._buf, value_off)
-            if ttype == _T_ASCII:
-                values = [self._buf[value_off : value_off + count]]
+                (value_off,) = struct.unpack_from("<I", entries, 2 + 12 * i + 8)
+                raw = self._bytes(value_off, size)
             else:
-                values = list(
-                    struct.unpack_from(f"<{count}{_TYPE_FMT[ttype]}", self._buf, value_off)
-                )
+                raw = entries[2 + 12 * i + 8 : 2 + 12 * i + 8 + size]
+            if ttype == _T_ASCII:
+                values = [raw]
+            else:
+                values = list(struct.unpack_from(f"<{count}{_TYPE_FMT[ttype]}", raw, 0))
             ifd[tag] = (ttype, values)
-        (next_off,) = struct.unpack_from("<I", self._buf, off + 2 + 12 * n)
+        (next_off,) = struct.unpack_from("<I", entries, 2 + 12 * n)
         return ifd, next_off
 
     @staticmethod
@@ -516,7 +565,7 @@ class GeoTIFFReader:
         return out[0] if band is not None else out
 
     def _decode(self, offset: int, count: int, compression: int) -> bytes:
-        raw = self._buf[offset : offset + count]
+        raw = self._bytes(offset, count)
         if compression in (8, 32946):  # DEFLATE (Adobe / legacy)
             return zlib.decompress(raw)
         if compression == 1:

@@ -50,6 +50,11 @@ def get_model(cfg: Config, name: Optional[str] = None):
             use_weight_loss=cfg.dataset.use_weight_loss,
             loss_name=cfg.model.loss,
             model_dtype=cfg.model.resolve_dtype(),
+            encoder_weights=(
+                None
+                if cfg.model.encoder_weights in ("none", "")
+                else cfg.model.encoder_weights
+            ),
         )
     elif cfg.model.model_mode == "regression_output":
         from starcop_tpu.models.regression import RegressionModel

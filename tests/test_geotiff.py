@@ -179,3 +179,28 @@ def test_chip_dataset_reads_tif_chips(tmp_path, rng):
     np.testing.assert_allclose(sample["input"][0], mag1c[4:20, 8:40])
     assert sample["output"].shape == (1, 16, 32)
     assert sample["weight_loss"].shape == (1, 16, 32)
+
+
+def test_lazy_windowed_read_does_not_load_file(tmp_path, rng):
+    """Windowed reads over scene-sized rasters fetch only header + needed
+    tiles (the chip cache reads hundreds of windows per scene product)."""
+    arr = rng.uniform(size=(2048, 1536)).astype(np.float32)
+    path = str(tmp_path / "scene.tif")
+    write_geotiff(path, arr, tile_size=128)
+    r = GeoTIFFReader(path)
+    assert len(r._buf) <= r._HEAD  # header cache only, not the whole file
+    win = r.read(window=(700, 900, 130, 140))
+    np.testing.assert_array_equal(win[0], arr[900:1040, 700:830])
+    r.close()
+
+
+def test_classic_tiff_4gb_guard(tmp_path):
+    class FakeBig(np.ndarray):
+        pass
+
+    # 1 band x 40000 x 40000 f32 uncompressed would exceed 4 GB: the writer
+    # must refuse rather than emit corrupt 32-bit offsets. Use a strided
+    # trick to avoid allocating it: np.broadcast_to keeps it virtual.
+    big = np.broadcast_to(np.zeros((1, 1), np.float32), (40000, 40000))
+    with pytest.raises(ValueError, match="32-bit"):
+        write_geotiff(str(tmp_path / "big.tif"), big, compress=False)
