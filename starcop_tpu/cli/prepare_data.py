@@ -220,6 +220,8 @@ def main(argv=None):
         wv3_path = find_raster(scene_dir, "wv3")
         if wv3_path:
             wv3 = load_raster(wv3_path, window=window)
+            if wv3.ndim == 2:  # single covered band comes back squeezed
+                wv3 = wv3[None]
             bands_path = os.path.join(scene_dir, "wv3_bands.json")
             if os.path.exists(bands_path):
                 with open(bands_path) as fh:

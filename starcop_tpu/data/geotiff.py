@@ -505,6 +505,7 @@ class GeoTIFFReader:
         bands = range(self.count) if band is None else [band]
         out = np.zeros((len(bands), h, w), self.dtype)
         compression = self._tag(ifd, _COMPRESSION, [1])[0]
+        planar = self._tag(ifd, _PLANAR_CONFIG, [1])[0]
         if _TILE_OFFSETS in ifd:
             ts_w = self._tag(ifd, _TILE_WIDTH)[0]
             ts_h = self._tag(ifd, _TILE_LENGTH)[0]
@@ -513,32 +514,44 @@ class GeoTIFFReader:
             tiles_down = -(-self.height // ts_h)
             tiles_across = -(-self.width // ts_w)
             tiles_per_plane = tiles_down * tiles_across
-            for bi, b in enumerate(bands):
-                plane_base = b * tiles_per_plane
-                tr0 = max(r0 // ts_h, 0)
-                tr1 = min((r0 + h - 1) // ts_h, tiles_down - 1)
-                tc0 = max(c0 // ts_w, 0)
-                tc1 = min((c0 + w - 1) // ts_w, tiles_across - 1)
-                for tr in range(tr0, tr1 + 1):
-                    for tc in range(tc0, tc1 + 1):
-                        idx = plane_base + tr * tiles_across + tc
-                        tile = self._decode(offsets[idx], counts[idx], compression)
-                        tile = np.frombuffer(tile, self.dtype).reshape(ts_h, ts_w)
-                        # intersection of tile extent and requested window
-                        ry0 = max(tr * ts_h, r0)
-                        ry1 = min((tr + 1) * ts_h, r0 + h, self.height)
-                        rx0 = max(tc * ts_w, c0)
-                        rx1 = min((tc + 1) * ts_w, c0 + w, self.width)
-                        if ry1 <= ry0 or rx1 <= rx0:
-                            continue
-                        out[bi, ry0 - r0 : ry1 - r0, rx0 - c0 : rx1 - c0] = tile[
-                            ry0 - tr * ts_h : ry1 - tr * ts_h, rx0 - tc * ts_w : rx1 - tc * ts_w
-                        ]
+            chunky = planar == 1 and self.count > 1  # GDAL COG default interleave
+            tr0 = max(r0 // ts_h, 0)
+            tr1 = min((r0 + h - 1) // ts_h, tiles_down - 1)
+            tc0 = max(c0 // ts_w, 0)
+            tc1 = min((c0 + w - 1) // ts_w, tiles_across - 1)
+            for tr in range(tr0, tr1 + 1):
+                for tc in range(tc0, tc1 + 1):
+                    # intersection of tile extent and requested window
+                    ry0 = max(tr * ts_h, r0)
+                    ry1 = min((tr + 1) * ts_h, r0 + h, self.height)
+                    rx0 = max(tc * ts_w, c0)
+                    rx1 = min((tc + 1) * ts_w, c0 + w, self.width)
+                    if ry1 <= ry0 or rx1 <= rx0:
+                        continue
+                    ty = slice(ry0 - tr * ts_h, ry1 - tr * ts_h)
+                    tx = slice(rx0 - tc * ts_w, rx1 - tc * ts_w)
+                    oy = slice(ry0 - r0, ry1 - r0)
+                    ox = slice(rx0 - c0, rx1 - c0)
+                    if chunky:
+                        idx = tr * tiles_across + tc
+                        tile = np.frombuffer(
+                            self._decode(offsets[idx], counts[idx], compression),
+                            self.dtype,
+                        ).reshape(ts_h, ts_w, self.count)
+                        for bi, b in enumerate(bands):
+                            out[bi, oy, ox] = tile[ty, tx, b]
+                    else:
+                        for bi, b in enumerate(bands):
+                            idx = b * tiles_per_plane + tr * tiles_across + tc
+                            tile = np.frombuffer(
+                                self._decode(offsets[idx], counts[idx], compression),
+                                self.dtype,
+                            ).reshape(ts_h, ts_w)
+                            out[bi, oy, ox] = tile[ty, tx]
         else:  # strip-based (external tools)
             rows_per_strip = self._tag(ifd, _ROWS_PER_STRIP, [self.height])[0]
             offsets = self._tag(ifd, _STRIP_OFFSETS)
             counts = self._tag(ifd, _STRIP_BYTE_COUNTS)
-            planar = self._tag(ifd, _PLANAR_CONFIG, [1])[0]
             if planar == 1 and self.count > 1:
                 full = np.zeros((self.height, self.width, self.count), self.dtype)
                 for si, (o, n) in enumerate(zip(offsets, counts)):
@@ -561,7 +574,14 @@ class GeoTIFFReader:
                         cube[b, row0 : row0 + nrows] = np.frombuffer(
                             raw, self.dtype, nrows * self.width
                         ).reshape(nrows, self.width)
-            out = cube[list(bands)][:, r0 : r0 + h, c0 : c0 + w]
+            # Zero-padded window extraction: offsets may be negative or
+            # overhang the raster (padded plume windows — permian.py).
+            ry0, ry1 = max(r0, 0), min(r0 + h, self.height)
+            rx0, rx1 = max(c0, 0), min(c0 + w, self.width)
+            if ry1 > ry0 and rx1 > rx0:
+                out[:, ry0 - r0 : ry1 - r0, rx0 - c0 : rx1 - c0] = cube[
+                    list(bands)
+                ][:, ry0:ry1, rx0:rx1]
         return out[0] if band is not None else out
 
     def _decode(self, offset: int, count: int, compression: int) -> bytes:
@@ -603,7 +623,10 @@ def read_geotiff(
 ) -> Tuple[np.ndarray, GeoMeta]:
     """One-shot read: (array, GeoMeta). ``window`` is (col_off, row_off, w, h)."""
     reader = GeoTIFFReader(path)
-    return reader.read(band=band, window=window), reader.meta
+    try:
+        return reader.read(band=band, window=window), reader.meta
+    finally:
+        reader.close()
 
 
 # ---------------------------------------------------------------------------
@@ -625,14 +648,27 @@ def load_raster(
     path: str, window: Optional[Tuple[int, int, int, int]] = None
 ) -> np.ndarray:
     """Load by extension; single-band rasters come back squeezed to (H, W) so
-    .tif and .npy products interchange. ``window`` is (col_off, row_off, w, h)."""
+    .tif and .npy products interchange. ``window`` is (col_off, row_off, w, h);
+    offsets may be negative / overhang the raster (padded plume windows —
+    ``permian.pad_window_to_size``), in which case the out-of-extent area is
+    zero-filled, matching the .tif tile path."""
     if path.endswith(".tif") or path.endswith(".tiff"):
-        arr = GeoTIFFReader(path).read(window=window)
+        reader = GeoTIFFReader(path)
+        try:
+            arr = reader.read(window=window)
+        finally:
+            reader.close()
         return arr[0] if arr.shape[0] == 1 else arr
     arr = np.load(path, mmap_mode="r")
     if window is not None:
         c, r, w, h = window
-        arr = arr[..., r : r + h, c : c + w]
+        hh, ww = arr.shape[-2:]
+        ry0, ry1 = max(r, 0), min(r + h, hh)
+        rx0, rx1 = max(c, 0), min(c + w, ww)
+        out = np.zeros(arr.shape[:-2] + (h, w), arr.dtype)
+        if ry1 > ry0 and rx1 > rx0:
+            out[..., ry0 - r : ry1 - r, rx0 - c : rx1 - c] = arr[..., ry0:ry1, rx0:rx1]
+        return out
     return np.asarray(arr)
 
 

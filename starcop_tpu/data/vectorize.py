@@ -72,15 +72,40 @@ def _trace_boundary(component: np.ndarray) -> List[Tuple[float, float]]:
         add_edge(bl, tl)  # left
     if not edges:
         return []
-    nxt: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    # A vertex where the region pinches (e.g. a hole or notch touching the
+    # boundary diagonally) has TWO outgoing edges; collect all of them and
+    # resolve the continuation by turn preference while tracing.
+    nxt: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
     for a, b in edges:
-        nxt[a] = b
+        nxt.setdefault(a, []).append(b)
     start = min(nxt)
     ring = [start]
-    cur = nxt[start]
-    while cur != start and len(ring) <= len(nxt) + 1:
+    prev = None
+    cur = start
+    for _ in range(4 * len(edges) + 2):
+        outs = nxt[cur]
+        if len(outs) == 1 or prev is None:
+            chosen = outs[0]
+        else:
+            # Edges are oriented with the interior on the RIGHT; at a pinch,
+            # take the most clockwise available turn so the exterior ring
+            # does not cross into the hole's ring.
+            dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+            # preference: right turn (cw), straight, left turn (ccw), back
+            pref = [(-dy, dx), (dx, dy), (dy, -dx), (-dx, -dy)]
+            chosen = None
+            for px, py in pref:
+                cand = (cur[0] + px, cur[1] + py)
+                if cand in outs:
+                    chosen = cand
+                    break
+            if chosen is None:
+                chosen = outs[0]
+        outs.remove(chosen)  # consume so each edge is walked once
+        prev, cur = cur, chosen
+        if cur == start:
+            break
         ring.append(cur)
-        cur = nxt.get(cur, start)
     ring.append(start)
     return [(float(c), float(r)) for c, r in ring]
 

@@ -38,21 +38,24 @@ def initialize_multihost(
     import jax
 
     explicit = (coordinator_address, num_processes, process_id)
-    if any(v is not None for v in explicit) and num_processes not in (None, 1):
-        if coordinator_address is None:
-            raise ValueError(
-                "multi-process initialization needs coordinator_address "
-                f"(got num_processes={num_processes})"
-            )
-        if process_id is None:
-            raise ValueError(
-                "multi-process initialization needs process_id "
-                f"(got num_processes={num_processes})"
-            )
-        if not 0 <= process_id < num_processes:
-            raise ValueError(
-                f"process_id {process_id} out of range for {num_processes} processes"
-            )
+    if any(v is not None for v in explicit):
+        if num_processes is not None and num_processes > 1:
+            if coordinator_address is None:
+                raise ValueError(
+                    "multi-process initialization needs coordinator_address "
+                    f"(got num_processes={num_processes})"
+                )
+            if process_id is None:
+                raise ValueError(
+                    "multi-process initialization needs process_id "
+                    f"(got num_processes={num_processes})"
+                )
+            if not 0 <= process_id < num_processes:
+                raise ValueError(
+                    f"process_id {process_id} out of range for {num_processes} processes"
+                )
+        # Forward whatever was given — jax.distributed.initialize infers the
+        # rest from the cluster environment (and errors loudly if it can't).
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

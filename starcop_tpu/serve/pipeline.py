@@ -175,7 +175,9 @@ def emit_serving_pipeline(
     from starcop_tpu.ops.ch4_template import generate_template_from_bands
     from starcop_tpu.scenes.emit_pipeline import emit_granule_to_mask
 
-    multi = devices is not None and len(devices) > 1
+    # Any explicit devices list (even length 1) pins compute to those chips;
+    # uploads then happen in the worker so they target the right device.
+    multi = devices is not None and len(devices) > 0
 
     def read_fn(path: str) -> Dict:
         scene = EMITRawScene(path)

@@ -204,3 +204,82 @@ def test_classic_tiff_4gb_guard(tmp_path):
     big = np.broadcast_to(np.zeros((1, 1), np.float32), (40000, 40000))
     with pytest.raises(ValueError, match="32-bit"):
         write_geotiff(str(tmp_path / "big.tif"), big, compress=False)
+
+
+def test_negative_and_overhanging_windows_zero_pad(tmp_path, rng):
+    """Padded plume windows (permian.pad_window_to_size) go negative /
+    overhang; both backends must zero-pad identically."""
+    arr = rng.uniform(1, 2, size=(40, 30)).astype(np.float32)
+    tif = str(tmp_path / "a.tif")
+    npy = str(tmp_path / "a.npy")
+    write_geotiff(tif, arr)
+    np.save(npy, arr)
+    for window in [(-2, -3, 10, 12), (25, 35, 10, 10), (-5, -5, 50, 45)]:
+        a = load_raster(tif, window=window)
+        b = load_raster(npy, window=window)
+        np.testing.assert_array_equal(a, b)
+        c0, r0, w, h = window
+        assert a.shape == (h, w)
+        # in-extent region matches the source
+        ry0, ry1 = max(r0, 0), min(r0 + h, 40)
+        rx0, rx1 = max(c0, 0), min(c0 + w, 30)
+        np.testing.assert_array_equal(
+            a[ry0 - r0 : ry1 - r0, rx0 - c0 : rx1 - c0], arr[ry0:ry1, rx0:rx1]
+        )
+
+
+def test_chunky_tiled_multiband_read(tmp_path, rng):
+    """GDAL's default COG interleave is PIXEL (chunky) even when tiled; the
+    reader must de-interleave (regression: assumed planar tiles)."""
+    import struct
+    import zlib
+
+    from starcop_tpu.data import geotiff as gt
+
+    c, h, w, ts = 3, 70, 50, 64
+    arr = rng.uniform(0, 1, size=(c, h, w)).astype(np.float32)
+    # build tiles by hand: (ts, ts, C) interleaved, row-major tile order
+    chunky = np.zeros((ts * 2, ts, c), np.float32)
+    chunky[:h, :w] = np.moveaxis(arr, 0, -1)
+    tiles = [zlib.compress(chunky[t * ts : (t + 1) * ts].tobytes()) for t in range(2)]
+
+    entries = [
+        (gt._IMAGE_WIDTH, gt._T_LONG, (w,)),
+        (gt._IMAGE_LENGTH, gt._T_LONG, (h,)),
+        (gt._BITS_PER_SAMPLE, gt._T_SHORT, (32,) * c),
+        (gt._COMPRESSION, gt._T_SHORT, (8,)),
+        (gt._PHOTOMETRIC, gt._T_SHORT, (1,)),
+        (gt._SAMPLES_PER_PIXEL, gt._T_SHORT, (c,)),
+        (gt._PLANAR_CONFIG, gt._T_SHORT, (1,)),  # chunky
+        (gt._TILE_WIDTH, gt._T_SHORT, (ts,)),
+        (gt._TILE_LENGTH, gt._T_SHORT, (ts,)),
+        (gt._TILE_OFFSETS, gt._T_LONG, [0, 0]),
+        (gt._TILE_BYTE_COUNTS, gt._T_LONG, [0, 0]),
+        (gt._SAMPLE_FORMAT, gt._T_SHORT, (3,) * c),
+    ]
+    entries.sort(key=lambda e: e[0])
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext = sum(
+        gt._padded_len(gt._value_len(t, v))
+        for _tag, t, v in entries
+        if gt._value_len(t, v) > 4
+    )
+    cursor = 8 + ifd_size + ext
+    offs, cnts = [], []
+    for blob in tiles:
+        offs.append(cursor)
+        cnts.append(len(blob))
+        cursor += gt._padded_len(len(blob))
+    entries = gt._finalize_entries(entries, offs, cnts)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += gt._serialize_ifd(entries, 8, 0)
+    for blob in tiles:
+        out += blob + b"\x00" * (gt._padded_len(len(blob)) - len(blob))
+    path = str(tmp_path / "chunky.tif")
+    open(path, "wb").write(bytes(out))
+
+    back, _ = read_geotiff(path)
+    np.testing.assert_array_equal(back, arr)
+    win = read_geotiff(path, band=1, window=(10, 60, 20, 15))[0]
+    np.testing.assert_array_equal(win[:10], arr[1, 60:70, 10:30])
+    assert (win[10:] == 0).all()  # overhang zero-padded

@@ -94,3 +94,37 @@ def test_join_collections(tmp_path):
     assert len(data["features"]) == 2
     props = data["features"][0]["properties"]
     assert props["file"].startswith("ang2019") and "sensing_time" in props
+
+
+def test_pinch_vertex_rings_stay_valid():
+    """A hole/notch touching the boundary diagonally (pinch vertex) must not
+    produce a self-crossing ring (regression: nxt[a]=b overwrote one of the
+    two outgoing edges and the trace looped the hole repeatedly)."""
+    mask = np.array([[0, 1, 1], [1, 0, 1], [1, 1, 1]], bool)
+    polys = get_polygons(mask)
+    assert len(polys) == 1
+    ring = polys[0]["coordinates"][0]
+    assert ring[0] == ring[-1]
+    # the weave through the pinch covers exactly the set pixels
+    assert _ring_area(ring) == mask.sum()
+
+
+def test_random_masks_rings_closed_and_area_bounded():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        m = rng.uniform(size=(12, 12)) > 0.5
+        labels, n = ndimage.label(m)
+        polys = get_polygons(m)
+        assert len(polys) == n
+        total = 0.0
+        for p in polys:
+            ring = p["coordinates"][0]
+            assert ring[0] == ring[-1] and len(ring) >= 5
+            total += _ring_area(ring)
+        filled = sum(
+            ndimage.binary_fill_holes(labels == i).sum() for i in range(1, n + 1)
+        )
+        # exterior rings: at least the pixels, at most the hole-filled extent
+        assert m.sum() - 1e-9 <= total <= filled + 1e-9
