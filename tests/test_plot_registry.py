@@ -93,3 +93,38 @@ def test_full_registry_smoke(rng):
     for start in range(0, len(all_names), 25):
         fig = plot_batch(batch, inputs, all_names[start : start + 25])
         plt.close(fig)
+
+
+def test_image_logger_writes_epoch_grid(tmp_path):
+    """ImageLogger (reference data_logger.py:26-62): holds a fixed batch, on
+    epoch end runs batch_with_preds and writes out_dir/epoch_{n}.png."""
+    pytest.importorskip("matplotlib")
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.eval.plot import ImageLogger
+    from starcop_tpu.models import SegmentationModel
+
+    r = np.random.default_rng(3)
+    products = ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"]
+    batch = {
+        "input": jnp.asarray(r.uniform(0, 100, size=(2, 4, 32, 32)), jnp.float32),
+        "output": jnp.asarray((r.uniform(size=(2, 1, 32, 32)) > 0.9).astype(np.float32)),
+        "weight_loss": jnp.ones((2, 1, 32, 32), jnp.float32),
+        "has_plume": jnp.asarray([1.0, 0.0]),
+        "id": ["a", "b"],
+    }
+    model = SegmentationModel(products, model_type="single", pos_weight=1.0)
+    variables = model.init(jax.random.PRNGKey(0), batch["input"])
+    state = types.SimpleNamespace(
+        params=variables["params"], batch_stats=variables.get("batch_stats", {})
+    )
+    logger = ImageLogger(
+        model, batch, products, ["rgb_aviris", "mag1c", "output", "prediction"],
+        str(tmp_path),
+    )
+    logger.on_epoch_end(trainer=None, state=state, epoch=3)
+    assert (tmp_path / "epoch_3.png").exists()
+    assert (tmp_path / "epoch_3.png").stat().st_size > 1000
