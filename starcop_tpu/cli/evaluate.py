@@ -27,7 +27,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=1)
     args = p.parse_args(argv)
 
-    from starcop_tpu.data.datamodule import BatchLoader
+    from starcop_tpu.data.datamodule import BatchLoader, prefetch_to_device
     from starcop_tpu.data.dataset import ChipDataset, read_index_csv
     from starcop_tpu.eval.validation import run_validation
 
@@ -60,8 +60,13 @@ def main(argv=None):
         variables = load_pretrained_variables(args.checkpoint)
         bwp = lambda b: model.batch_with_preds(variables, b)  # noqa: E731
 
+    # Double-buffered host->device prefetch: the chip reads + transfer of the
+    # next batch overlap the current batch's forward + CM program.
     rows_out, metrics = run_validation(
-        bwp, iter(loader), apply_threshold=apply_threshold, path_save_results=args.output
+        bwp,
+        prefetch_to_device(iter(loader)),
+        apply_threshold=apply_threshold,
+        path_save_results=args.output,
     )
     print(json.dumps({k: metrics[k] for k in ("f1score", "precision", "recall",
                                               "classification_f1score") if k in metrics}))

@@ -130,10 +130,12 @@ def main(argv=None):
             json.dump(trainer.history, fh, indent=2)
 
     if cfg.model.test and state is not None:
+        from starcop_tpu.data.datamodule import prefetch_to_device
+
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         _, metrics = run_validation(
             lambda b: model.batch_with_preds(variables, b),
-            iter(dm.test_loader()),
+            prefetch_to_device(iter(dm.test_loader())),
             path_save_results=os.path.join(exp_dir, "test"),
         )
         logger.info("test F1 %.4f", metrics.get("f1score", float("nan")))
@@ -147,7 +149,7 @@ def main(argv=None):
         )
         _, metrics_train = run_validation(
             lambda b: model.batch_with_preds(variables, b),
-            iter(BatchLoader(train_full, batch_size=1)),
+            prefetch_to_device(iter(BatchLoader(train_full, batch_size=1))),
             path_save_results=os.path.join(exp_dir, "train"),
         )
         logger.info("train F1 %.4f", metrics_train.get("f1score", float("nan")))

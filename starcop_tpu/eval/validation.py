@@ -59,6 +59,51 @@ def _threshold_sweep_cms(prediction, y, valid, thresholds):
     )  # (T, 2, 2)
 
 
+def _cm_from_flags(pb, t, v, axis):
+    """Stacked [[tn, fp], [fn, tp]] reducing boolean flag arrays over ``axis``."""
+    tp = jnp.sum(v & pb & (t == 1), axis=axis)
+    tn = jnp.sum(v & ~pb & (t == 0), axis=axis)
+    fp = jnp.sum(v & pb & (t == 0), axis=axis)
+    fn = jnp.sum(v & ~pb & (t == 1), axis=axis)
+    return jnp.stack(
+        [jnp.stack([tn, fp], axis=-1), jnp.stack([fn, tp], axis=-1)], axis=-2
+    )
+
+
+@jax.jit
+def _batch_eval_stats(pred_binary, prediction, y, valid, thresholds):
+    """All per-batch eval statistics in ONE device program.
+
+    The reference evaluates at batch_size==1 with a Python loop per tile and
+    per threshold (validation.py:34,80-125); a literal port costs two device
+    round trips per tile, which on a remote-dispatch link (33 ms RTT here)
+    dominates eval wall time. This computes, for a (B, ...) batch:
+
+      * per-sample confusion matrices (B, 2, 2) at the model's own binary
+        prediction;
+      * the threshold-sweep confusion matrices summed over the batch
+        (T, 2, 2);
+      * per-sample label/pred positive-pixel counts (B,).
+
+    so the host loop only formats tiny numpy arrays.
+    """
+    b = pred_binary.shape[0]
+    p = pred_binary.reshape(b, -1).astype(jnp.int32) == 1
+    t = y.reshape(b, -1).astype(jnp.int32)
+    v = valid.reshape(b, -1)
+    cms = _cm_from_flags(p, t, v, axis=1)  # (B, 2, 2)
+
+    pr = prediction.reshape(b, -1)
+    pb = pr[:, None, :] > thresholds[None, :, None]  # (B, T, N)
+    sweep = _cm_from_flags(pb, t[:, None, :], v[:, None, :], axis=(0, 2))  # (T, 2, 2)
+
+    # Unmasked counts, matching the reference rows (validation.py:128-133
+    # sums the raw label / pred_binary tensors).
+    label_px = jnp.sum(t, axis=1)
+    pred_px = jnp.sum(p, axis=1)
+    return cms, sweep, label_px, pred_px
+
+
 def run_validation(
     batch_with_preds: Callable[[Dict], Dict],
     batches,
@@ -92,24 +137,60 @@ def run_validation(
     cm_thresholds = {t: np.zeros((2, 2), np.int64) for t in thresholds}
     out_data: List[Dict] = []
 
+    thr_dev = jnp.asarray(thresholds, jnp.float32)
+
     for batch in batches:
         enriched = batch_with_preds(batch)
-        pred_binary = np.asarray(enriched["pred_binary"])
-        y_long = np.asarray(enriched["output_norm"]).astype(np.int64)
-        prediction = np.asarray(enriched["prediction"])
-        bsz = pred_binary.shape[0]
+        # .shape never transfers; np.asarray on a device array would pull the
+        # whole tensor through the (slow) host link.
+        bsz = int(enriched["pred_binary"].shape[0])
 
         if mask_from_magic:
             if "nodata_mask" not in enriched:
                 raise KeyError("mask_from_magic requires batch['nodata_mask']")
-            valid = np.asarray(enriched["nodata_mask"]) == 0
+            valid = jnp.asarray(enriched["nodata_mask"]) == 0
         else:
-            valid = np.ones_like(y_long, dtype=bool)
+            valid = jnp.ones(enriched["output_norm"].shape, bool)
+
+        # One fused device program per batch for every CM/count; one host
+        # transfer for all of its outputs.
+        cms, sweep, label_px, pred_px = jax.device_get(
+            _batch_eval_stats(
+                jnp.asarray(enriched["pred_binary"]),
+                jnp.asarray(enriched["prediction"]),
+                jnp.asarray(enriched["output_norm"]),
+                valid,
+                thr_dev,
+            )
+        )
+        cms = cms.astype(np.int64)
+
+        if apply_threshold is not None:
+            # Baselines thread morphology through their thresholding: one
+            # whole-batch call + batched CM per threshold.
+            prediction = np.asarray(enriched["prediction"])
+            y_dev = jnp.asarray(enriched["output_norm"])
+            for thr in thresholds:
+                pb = jnp.asarray(apply_threshold(prediction, thr))
+                cm_thresholds[thr] += np.asarray(
+                    _cm_from_flags(
+                        pb.reshape(bsz, -1).astype(jnp.int32) == 1,
+                        y_dev.reshape(bsz, -1).astype(jnp.int32),
+                        valid.reshape(bsz, -1),
+                        axis=(0, 1),
+                    )
+                ).astype(np.int64)
+        else:
+            for k, thr in enumerate(thresholds):
+                cm_thresholds[thr] += sweep[k].astype(np.int64)
+
+        pred_cls = np.asarray(enriched["pred_classification"]).reshape(bsz, -1)
+        hp_arr = enriched.get("has_plume")
+        if hp_arr is not None:
+            hp_arr = np.asarray(hp_arr).reshape(-1)
 
         for i in range(bsz):
-            cm_iter = np.asarray(
-                sm.masked_confusion_matrix(pred_binary[i], y_long[i], valid[i])
-            ).astype(np.int64)
+            cm_iter = cms[i]
             cm_total += cm_iter
 
             row: Dict[str, Any] = {}
@@ -117,32 +198,11 @@ def run_validation(
                 row[fun.__name__] = float(fun(cm_iter))
             ids = enriched.get("id", [str(len(out_data))] * bsz)
             row["id"] = ids[i] if isinstance(ids, (list, tuple)) else str(ids)
-            row["label_pixels_plume"] = int(y_long[i].sum())
-            hp = enriched.get("has_plume")
-            row["has_plume"] = bool(np.asarray(hp).reshape(-1)[i]) if hp is not None else row["label_pixels_plume"] > 0
-            row["pred_classification"] = int(np.asarray(enriched["pred_classification"]).reshape(bsz, -1)[i, 0])
-            row["pred_pixels_plume"] = int(pred_binary[i].sum())
+            row["label_pixels_plume"] = int(label_px[i])
+            row["has_plume"] = bool(hp_arr[i]) if hp_arr is not None else row["label_pixels_plume"] > 0
+            row["pred_classification"] = int(pred_cls[i, 0])
+            row["pred_pixels_plume"] = int(pred_px[i])
             out_data.append(row)
-
-            if apply_threshold is not None:
-                # Baselines thread morphology through their thresholding.
-                for thr in thresholds:
-                    pb = np.asarray(apply_threshold(prediction[i : i + 1], thr))[0]
-                    cm_thresholds[thr] += np.asarray(
-                        sm.masked_confusion_matrix(pb, y_long[i], valid[i])
-                    ).astype(np.int64)
-            else:
-                sweep = np.asarray(
-                    _threshold_sweep_cms(
-                        jnp.asarray(prediction[i]),
-                        jnp.asarray(y_long[i]),
-                        jnp.asarray(valid[i]),
-                        jnp.asarray(thresholds, jnp.float32),
-                    ),
-                    np.int64,
-                )
-                for k, thr in enumerate(thresholds):
-                    cm_thresholds[thr] += sweep[k]
 
             if plot_fn is not None:
                 plot_fn(enriched, i, row["id"])

@@ -166,6 +166,25 @@ def _numeric_arrays(batch: Dict) -> Dict:
     return out
 
 
+def _prefetch_sharded(mesh, batches, size: int = 2):
+    """Yield batches already sharded onto the mesh, ``size`` ahead.
+
+    Device placement in JAX is asynchronous: issuing the next batch's
+    host->device transfer before the current step's compute finishes overlaps
+    PCIe/link time with MXU time. Keeping the loop's ``shard_batch`` inline
+    instead would serialize transfer and compute every step.
+    """
+    import collections
+
+    q = collections.deque()
+    for b in batches:
+        q.append(shard_batch(mesh, _numeric_arrays(b)))
+        if len(q) >= size:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 class Trainer:
     """Epoch loop with plateau LR, early stopping, best-checkpoint retention.
 
@@ -257,9 +276,8 @@ class Trainer:
             else:
                 val_at = set()
             last_i = -1
-            for i, batch in enumerate(batches):
+            for i, sharded in enumerate(_prefetch_sharded(self.mesh, batches)):
                 last_i = i
-                sharded = shard_batch(self.mesh, _numeric_arrays(batch))
                 lr = jnp.asarray(base_lr * self.scheduler.scale, jnp.float32)
                 state, loss = self._train_step(state, sharded, lr)
                 losses.append(loss)
@@ -290,17 +308,26 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, state: TrainState, val_batches) -> Dict[str, float]:
-        total_loss, n = 0.0, 0
-        cm = np.zeros((2, 2), np.int64)
-        cm_cls = np.zeros((2, 2), np.int64)
-        for batch in val_batches():
-            sharded = shard_batch(self.mesh, _numeric_arrays(batch))
+        # Accumulate on device; ONE host transfer at the end (a float()/
+        # np.asarray() per batch costs a full host sync each — 33 ms over a
+        # remote-dispatch link).
+        losses, cms, cms_cls, n = [], [], [], 0
+        for sharded in _prefetch_sharded(self.mesh, val_batches()):
             loss, cm_i, cm_cls_i = self._eval_step(state, sharded)
-            total_loss += float(loss)
+            losses.append(loss)
+            cms.append(cm_i)
+            cms_cls.append(cm_cls_i)
             n += 1
-            cm += np.asarray(cm_i, np.int64)
-            cm_cls += np.asarray(cm_cls_i, np.int64)
-        out = {"val_loss": total_loss / max(n, 1)}
+        total_loss, cm, cm_cls = jax.device_get(
+            (
+                jnp.sum(jnp.stack(losses)) if losses else jnp.float32(0),
+                sum(cms, jnp.zeros((2, 2), jnp.int32)),
+                sum(cms_cls, jnp.zeros((2, 2), jnp.int32)),
+            )
+        )
+        cm = cm.astype(np.int64)
+        cm_cls = cm_cls.astype(np.int64)
+        out = {"val_loss": float(total_loss) / max(n, 1)}
         for fun in sm.METRICS_CONFUSION_MATRIX:
             out[f"val_{fun.__name__}"] = float(fun(cm))
             out[f"val_classification_{fun.__name__}"] = float(fun(cm_cls))

@@ -311,3 +311,77 @@ def test_prefetch_to_device(chip_root):
     batches = list(prefetch_to_device(iter(loader8), mesh=mesh))
     shard_shapes = {s.data.shape for s in batches[0]["input"].addressable_shards}
     assert shard_shapes == {(1, 1, 128, 128)}  # 8-batch split 1-per-device
+
+
+def test_run_validation_batched_stats_match_numpy_oracle():
+    """The fused per-batch eval stats (one device program per batch) must
+    reproduce a per-sample numpy restatement of the reference loops
+    (validation.py:80-133): per-tile CMs, threshold-sweep CMs, pixel counts —
+    including the nodata mask path and a morphology-aware apply_threshold."""
+    from starcop_tpu.eval.validation import DEFAULT_THRESHOLDS
+
+    r = np.random.default_rng(5)
+    b, h, w = 3, 32, 32
+    prediction = r.uniform(0, 1, (b, 1, h, w)).astype(np.float32)
+    y = (r.uniform(size=(b, 1, h, w)) > 0.8).astype(np.float32)
+    nodata = (r.uniform(size=(b, 1, h, w)) > 0.9).astype(np.int32)
+
+    class FakeModel:
+        def batch_with_preds(self, batch):
+            out = dict(batch)
+            out["output_norm"] = batch["output"]
+            out["prediction"] = prediction
+            out["pred_binary"] = (prediction > 0.5).astype(np.int32)
+            from starcop_tpu.models import pred_classification
+
+            out["pred_classification"] = np.asarray(
+                pred_classification(jnp.asarray(out["pred_binary"]))
+            )
+            out["nodata_mask"] = nodata
+            return out
+
+    def batches():
+        yield {
+            "input": y,
+            "output": y,
+            "id": [f"t{i}" for i in range(b)],
+            "has_plume": np.asarray([v.sum() > 0 for v in y]),
+        }
+
+    rows, metrics = run_validation(
+        FakeModel().batch_with_preds, batches(), mask_from_magic=True
+    )
+
+    # numpy oracle, per sample / per threshold, valid = nodata == 0
+    valid = nodata == 0
+    pb = (prediction > 0.5).astype(np.int64)
+    yl = y.astype(np.int64)
+    for i, row in enumerate(rows):
+        v, p, t = valid[i], pb[i], yl[i]
+        assert row["TP"] == float(np.sum(v & (p == 1) & (t == 1)))
+        assert row["TN"] == float(np.sum(v & (p == 0) & (t == 0)))
+        assert row["FP"] == float(np.sum(v & (p == 1) & (t == 0)))
+        assert row["FN"] == float(np.sum(v & (p == 0) & (t == 1)))
+        assert row["label_pixels_plume"] == int(t.sum())
+        assert row["pred_pixels_plume"] == int(p.sum())
+    for entry in metrics["thresholded"]:
+        thr = entry["threshold"]
+        pbt = (prediction > thr).astype(np.int64)
+        want = [
+            [int(np.sum(valid & (pbt == 0) & (yl == 0))), int(np.sum(valid & (pbt == 1) & (yl == 0)))],
+            [int(np.sum(valid & (pbt == 0) & (yl == 1))), int(np.sum(valid & (pbt == 1) & (yl == 1)))],
+        ]
+        assert entry["confusion_matrix"] == want, thr
+    assert len(metrics["thresholded"]) == len(DEFAULT_THRESHOLDS)
+
+    # apply_threshold path (baseline-style custom thresholding) batched over
+    # the whole batch must agree with the same oracle.
+    _, metrics_thr = run_validation(
+        FakeModel().batch_with_preds,
+        batches(),
+        apply_threshold=lambda pred, thr: (np.asarray(pred) > thr).astype(np.int32),
+        mask_from_magic=True,
+    )
+    assert [e["confusion_matrix"] for e in metrics_thr["thresholded"]] == [
+        e["confusion_matrix"] for e in metrics["thresholded"]
+    ]
