@@ -48,26 +48,32 @@ EPSILON = 1e-9
 
 
 def _weighted_stats_dtype(x, weights):
+    """(w, n) for masked statistics; w is None when all pixels are valid, so
+    downstream code skips every full-array masking multiply (each one is a
+    complete HBM read+write of the cube)."""
     if weights is None:
-        w = jnp.ones(x.shape[:2], dtype=x.dtype)
-    else:
-        w = weights.astype(x.dtype)
+        return None, jnp.full((x.shape[0], 1), float(x.shape[1]), dtype=x.dtype)
+    w = weights.astype(x.dtype)
     n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
     return w, n
 
 
-def _weighted_mean(x: jax.Array, w: jax.Array, n: jax.Array) -> jax.Array:
-    """Weighted mean over the pixel axis. x: (B,P,S), w: (B,P), n: (B,1) -> (B,1,S)."""
+def _weighted_mean(x: jax.Array, w, n: jax.Array) -> jax.Array:
+    """Weighted mean over the pixel axis. x: (B,P,S), w: (B,P) or None (all
+    pixels valid — skips the masking pass), n: (B,1) -> (B,1,S)."""
+    if w is None:
+        return jnp.mean(x, axis=1, keepdims=True)
     return jnp.einsum("bp,bps->bs", w, x)[:, None, :] / n[..., None]
 
 
-def _weighted_cov(xm: jax.Array, w: jax.Array, n: jax.Array) -> jax.Array:
+def _weighted_cov(xm: jax.Array, w, n: jax.Array) -> jax.Array:
     """Weighted second moment of centered data: (B,P,S) -> (B,S,S).
 
     C = sum_p w_p xm_p xm_p^T / n. The matmul is the MXU hot op; weights fold
-    into one operand so XLA fuses the masking into the contraction.
+    into one operand so XLA fuses the masking into the contraction. ``w=None``
+    skips the masking multiply entirely (all pixels valid).
     """
-    xw = xm * w[..., None]
+    xw = xm if w is None else xm * w[..., None]
     c = jnp.einsum("bps,bpt->bst", xw, xm, preferred_element_type=xm.dtype)
     return c / n[..., None]
 
@@ -199,7 +205,7 @@ def acrwl1mf(
     w, n = _weighted_stats_dtype(x, weights)
     template = template.astype(x.dtype)
     tpl = template[None, None, :]  # (1, 1, S)
-    w3 = w[..., None]
+    w3 = None if w is None else w[..., None]
 
     mf, r = rmf(
         x,
@@ -248,10 +254,12 @@ def acrwl1mf(
             new_mf = jax.nn.relu(new_mf)
         # Keep padded pixels at zero so they never re-enter the statistics
         # through the regularizer/covariance-update pathway with NaN/Inf.
-        new_mf = new_mf * w3
+        if w3 is not None:
+            new_mf = new_mf * w3
         return new_mf, new_target
 
-    mf = mf * w3
+    if w3 is not None:
+        mf = mf * w3
     mf, _ = jax.lax.fori_loop(0, num_iter, body, (mf, target0))
     return mf * SCALING, r
 
@@ -311,6 +319,10 @@ def mag1c_column_blocks(
     pad_w = nb * step - w_dim
 
     scene = jnp.asarray(scene, dtype=compute_dtype)
+    # No mask and no width padding: every pixel is valid, so skip the mask
+    # materialization and the full-cube zeroing multiply (each a complete HBM
+    # read+write of the scene) — the kernels take weights=None fast paths.
+    no_mask = valid_mask is None and pad_w == 0
     if valid_mask is None:
         valid = jnp.ones((h, w_dim), dtype=bool)
     else:
@@ -322,11 +334,13 @@ def mag1c_column_blocks(
 
     # (H, nb, step, S) -> (nb, H * step, S): one batch entry per column block.
     xb = scene.reshape(h, nb, step, s).transpose(1, 0, 2, 3).reshape(nb, h * step, s)
-    wb = valid.reshape(h, nb, step).transpose(1, 0, 2).reshape(nb, h * step)
-
-    # Zero out invalid pixels so padded data cannot produce NaNs upstream of
-    # the weighting (e.g. fill values of -9999).
-    xb = xb * wb[..., None].astype(xb.dtype)
+    if no_mask:
+        wb = None
+    else:
+        wb = valid.reshape(h, nb, step).transpose(1, 0, 2).reshape(nb, h * step)
+        # Zero out invalid pixels so padded data cannot produce NaNs upstream
+        # of the weighting (e.g. fill values of -9999).
+        xb = xb * wb[..., None].astype(xb.dtype)
 
     if use_pallas is None:
         # Default to the Pallas-fused kernel on TPU at f32 (≈1.7x the XLA
@@ -334,17 +348,18 @@ def mag1c_column_blocks(
         use_pallas = (
             compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu"
         )
+    wb_f = None if wb is None else wb.astype(compute_dtype)
     if use_pallas:
         from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
 
         mf, albedo = acrwl1mf_fused(
-            xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
+            xb, jnp.asarray(template, dtype=compute_dtype), wb_f,
             num_iter=num_iter, alpha=alpha,
             stream_dtype=stream_dtype or compute_dtype,
         )
     else:
         mf, albedo = acrwl1mf(
-            xb, jnp.asarray(template, dtype=compute_dtype), wb.astype(compute_dtype),
+            xb, jnp.asarray(template, dtype=compute_dtype), wb_f,
             num_iter=num_iter, alpha=alpha,
         )
 

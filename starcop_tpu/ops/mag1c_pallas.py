@@ -56,6 +56,19 @@ from starcop_tpu.ops.mag1c import (
 DEFAULT_TILE_P = 8192
 
 
+def _dividing_tile(p0: int, tile_p: int):
+    """Largest lane-aligned (multiple-of-128) divisor of ``p0`` that is
+    <= ``tile_p``; None if there is none. Lets the unweighted path run with
+    zero pixel padding (padding would require a validity mask, i.e. an extra
+    full-cube masking pass)."""
+    t = tile_p - tile_p % 128
+    while t >= 128:
+        if p0 % t == 0:
+            return t
+        t -= 128
+    return None
+
+
 def _fused_iter_kernel(
     first_ref,   # SMEM (1, 1) int32: 1 -> pass mf through (init iteration)
     x_ref,       # (1, S, T) centered radiance tile (transposed layout)
@@ -192,32 +205,52 @@ def acrwl1mf_fused(
     x = jnp.asarray(x, jnp.float32)
     template = jnp.asarray(template, jnp.float32)
     b, p0, s = x.shape
-    if weights is None:
-        w = jnp.ones((b, p0), jnp.float32)
+
+    unweighted = weights is None
+    if unweighted:
+        # All pixels valid: every masking multiply below is a full HBM
+        # read+write of the cube — skip them all. Prefer a tile size that
+        # divides P exactly (lane-aligned) so no padding (hence no mask) is
+        # ever materialized; fall back to an explicit ones mask otherwise.
+        tile_p = _dividing_tile(p0, tile_p)
+        if tile_p is None:
+            weights = jnp.ones((b, p0), jnp.float32)
+            unweighted = False
+            tile_p = DEFAULT_TILE_P
+
+    if unweighted:
+        w = None
+        p = p0
+        n = jnp.full((b, 1), float(p0), jnp.float32)
     else:
         w = jnp.asarray(weights, jnp.float32)
-
-    p = -(-p0 // tile_p) * tile_p
-    if p != p0:
-        x = jnp.pad(x, ((0, 0), (0, p - p0), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, p - p0)))
-    x = x * w[..., None]
-
-    n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
+        p = -(-p0 // tile_p) * tile_p
+        if p != p0:
+            x = jnp.pad(x, ((0, 0), (0, p - p0), (0, 0)))
+            w = jnp.pad(w, ((0, 0), (0, p - p0)))
+        x = x * w[..., None]
+        n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
 
     # --- init: single-pass rmf (XLA; one extra read of x) ---------------
     mf0, r0 = rmf(x, template, w, alpha=alpha, apply_scaling=False)
-    # Zero-weight pixels carry R == 0 out of rmf, i.e. mf == inf: select,
-    # don't multiply (inf * 0 = NaN).
-    mf0 = jnp.where(w > 0, mf0[..., 0], 0.0)
-    r = jnp.where(w > 0, r0[..., 0], 1.0)  # (B, P)
+    if w is None:
+        mf0 = mf0[..., 0]
+        r = r0[..., 0]  # (B, P)
+    else:
+        # Zero-weight pixels carry R == 0 out of rmf, i.e. mf == inf: select,
+        # don't multiply (inf * 0 = NaN).
+        mf0 = jnp.where(w > 0, mf0[..., 0], 0.0)
+        r = jnp.where(w > 0, r0[..., 0], 1.0)  # (B, P)
 
     # Pre-center for single-pass moment stability, then transpose to the
     # kernel's (B, S, P) streaming layout (one HBM shuffle, amortized over
     # all iterations).
     m0 = _weighted_mean(x, w, n)[:, 0, :]  # (B, S) original-units mean
-    xc_t = jnp.swapaxes((x - m0[:, None, :]) * w[..., None], 1, 2)  # (B, S, P)
+    xc_t = x - m0[:, None, :] if w is None else (x - m0[:, None, :]) * w[..., None]
+    xc_t = jnp.swapaxes(xc_t, 1, 2)  # (B, S, P)
     xc_t = xc_t.astype(stream_dtype)
+    if w is None:
+        w = jnp.ones((b, p), jnp.float32)  # kernel row input only (tiny reads)
 
     target0 = (template[None, :] * m0)[:, :, None]  # (B, S, 1)
     mu_c0 = jnp.zeros((b, s, 1), jnp.float32)

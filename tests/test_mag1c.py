@@ -204,3 +204,53 @@ def test_fused_pallas_bf16_streaming(synthetic_radiance):
     if big.any():
         rel = np.abs(b[big] - a[big]) / a[big]
         assert np.median(rel) < 0.02
+
+
+def test_fused_pallas_none_weights_matches_ones(synthetic_radiance):
+    """The unweighted fast path (weights=None: no mask materialization, no
+    zeroing multiplies, dividing tile) must match the explicit all-ones-mask
+    path to float32 tolerance."""
+    from starcop_tpu.ops.mag1c_pallas import _dividing_tile, acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = jnp.asarray(x64.astype(np.float32))
+    tpl = jnp.asarray(template, jnp.float32)
+    ones = jnp.ones(x.shape[:2], jnp.float32)
+    mf_none, r_none = acrwl1mf_fused(x, tpl, None, num_iter=4, alpha=1e-4,
+                                     tile_p=256, interpret=True)
+    mf_ones, r_ones = acrwl1mf_fused(x, tpl, ones, num_iter=4, alpha=1e-4,
+                                     tile_p=256, interpret=True)
+    # The paths sum in different orders (jnp.mean vs einsum-with-ones); the
+    # L1-reweighting regularizer 1/(mf+eps) amplifies f32 rounding on
+    # near-zero pixels, so compare at detection level: near-perfect
+    # correlation, identical >500 ppm x m detection masks, exact albedo.
+    a = np.asarray(mf_none)[..., 0].ravel()
+    bb = np.asarray(mf_ones)[..., 0].ravel()
+    assert np.corrcoef(a, bb)[0, 1] > 0.9999
+    np.testing.assert_array_equal(a > 500, bb > 500)
+    np.testing.assert_allclose(np.asarray(r_none), np.asarray(r_ones), rtol=1e-5)
+
+    # tile picking: exact lane-aligned divisors, fallback None
+    assert _dividing_tile(512, 256) == 256
+    assert _dividing_tile(69120, 8192) == 7680  # 1280 x 54 EMIT-bench blocks
+    assert _dividing_tile(69120, 8192) * 9 == 69120
+    assert _dividing_tile(1280 * 54, 128) == 128
+    assert _dividing_tile(130, 8192) is None  # not lane-divisible -> fallback
+
+
+def test_column_blocks_no_mask_matches_masked(synthetic_radiance):
+    """mag1c_column_blocks with valid_mask=None (fast path: no mask built)
+    equals the same call with an explicit all-true mask."""
+    rng = np.random.default_rng(3)
+    h, w, s = 32, 48, 20
+    template = -np.abs(np.sin(np.linspace(0, 3 * np.pi, s))) * 1e-5
+    base = rng.uniform(2.0, 6.0, size=(1, 1, s))
+    x = rng.uniform(0.5, 2.0, (h, w, 1)) * base + rng.normal(0, 0.02, (h, w, s))
+    xd = jnp.asarray(x, jnp.float32)
+    tpl = jnp.asarray(template, jnp.float32)
+    mf_none, alb_none = m.mag1c_column_blocks(xd, tpl, None, column_step=16, num_iter=3)
+    mf_ones, alb_ones = m.mag1c_column_blocks(
+        xd, tpl, jnp.ones((h, w), bool), column_step=16, num_iter=3
+    )
+    np.testing.assert_allclose(np.asarray(mf_none), np.asarray(mf_ones), rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(alb_none), np.asarray(alb_ones), rtol=1e-5)
