@@ -50,7 +50,6 @@ from starcop_tpu.ops.mag1c import (
     _shrink_diag,
     _cho_solve_vec,
     _weighted_mean,
-    rmf,
 )
 
 DEFAULT_TILE_P = 8192
@@ -231,17 +230,6 @@ def acrwl1mf_fused(
         x = x * w[..., None]
         n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
 
-    # --- init: single-pass rmf (XLA; one extra read of x) ---------------
-    mf0, r0 = rmf(x, template, w, alpha=alpha, apply_scaling=False)
-    if w is None:
-        mf0 = mf0[..., 0]
-        r = r0[..., 0]  # (B, P)
-    else:
-        # Zero-weight pixels carry R == 0 out of rmf, i.e. mf == inf: select,
-        # don't multiply (inf * 0 = NaN).
-        mf0 = jnp.where(w > 0, mf0[..., 0], 0.0)
-        r = jnp.where(w > 0, r0[..., 0], 1.0)  # (B, P)
-
     # Pre-center for single-pass moment stability, then transpose to the
     # kernel's (B, S, P) streaming layout (one HBM shuffle, amortized over
     # all iterations).
@@ -249,6 +237,33 @@ def acrwl1mf_fused(
     xc_t = x - m0[:, None, :] if w is None else (x - m0[:, None, :]) * w[..., None]
     xc_t = jnp.swapaxes(xc_t, 1, 2)  # (B, S, P)
     xc_t = xc_t.astype(stream_dtype)
+
+    # --- init: rmf re-expressed on the centered transposed cube ----------
+    # Reference rmf semantics (mag1c.py:284-348): mean/cov of x, UNclamped
+    # normalizer, albedo R = (x.mu)/(mu.mu), ReLU. Deriving it from xc_t
+    # instead of x keeps the uncentered (B, P, S) cube single-consumer — the
+    # callers' block reshape then fuses into the m0 reduction and the xc_t
+    # shuffle and is never materialized — and reads the (possibly bf16)
+    # streamed cube twice instead of re-reading the f32 cube.
+    #   cov:  w is 0/1 and xc rows are zeroed at invalid pixels, so
+    #         xc.xc^T == sum_valid (x-m0)(x-m0)^T exactly;
+    #   R:    x.m0 = (x-m0).m0 + m0.m0, so R = q/(m0.m0) + 1 with q from xc —
+    #         and invalid pixels (xc = 0) land on R = 1, mf0 = 0, matching the
+    #         masking the separate-rmf path applied via jnp.where.
+    c0 = (
+        jnp.einsum("bsp,btp->bst", xc_t, xc_t, preferred_element_type=jnp.float32)
+        / n[..., None]
+    )
+    c0 = _shrink_diag(c0, alpha)
+    tgt0 = template[None, :] * m0  # (B, S)
+    cit0_vec = _cho_solve_vec(c0, tgt0)  # (B, S)
+    norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
+    # Both init matvecs in ONE streaming read: rows [cit0; m0] against xc_t.
+    a2 = jnp.stack([cit0_vec, m0], axis=1)  # (B, 2, S)
+    p2 = jnp.einsum("bks,bsp->bkp", a2, xc_t, preferred_element_type=jnp.float32)
+    r = p2[:, 1, :] / jnp.einsum("bs,bs->b", m0, m0)[:, None] + 1.0  # (B, P)
+    mf0 = jnp.maximum(p2[:, 0, :] / (r * norm0[:, None]), 0.0)
+
     if w is None:
         w = jnp.ones((b, p), jnp.float32)  # kernel row input only (tiny reads)
 
