@@ -95,6 +95,9 @@ def collect(quick: bool = False, deadline_ts: float = None):
 
     t = _timed(run_eval)
     results.append({"metric": "eval_tiles_per_sec", "value": round(batch_eval / t, 2), "unit": "tiles/s"})
+    # (bf16-compute eval was measured too: slower than f32 at this batch size
+    # — inference is conv-DMA-bound and the per-layer casts dominate — so
+    # only training keeps a bf16 mode.)
 
     # ---- raw granule -> plume mask, end to end (mag1c + renorm + U-Net) ---
     if past_deadline():

@@ -100,6 +100,22 @@ def _cho_solve_vec(c: jax.Array, b: jax.Array) -> jax.Array:
     return z[..., 0]
 
 
+def _cho_inverse(c: jax.Array) -> jax.Array:
+    """Explicit SPD inverse via Cholesky. c: (B,S,S) -> (B,S,S).
+
+    Used by the fused matched filter's Woodbury glue: the base covariance is
+    inverted ONCE, then every iteration's rank-2-updated system is solved with
+    batched matvecs against this inverse (see mag1c_pallas.acrwl1mf_fused).
+    """
+    s = c.shape[-1]
+    chol = jnp.linalg.cholesky(c)
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=c.dtype), c.shape)
+    y = jax.lax.linalg.triangular_solve(chol, eye, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(
+        chol, y, left_side=True, lower=True, transpose_a=True
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -332,6 +348,43 @@ def mag1c_column_blocks(
         scene = jnp.pad(scene, ((0, 0), (0, pad_w), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, pad_w)))
 
+    if use_pallas is None:
+        # Default to the Pallas-fused kernel on TPU at f32 (≈1.7x the XLA
+        # path: one HBM read of the cube per iteration); XLA elsewhere.
+        use_pallas = (
+            compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu"
+        )
+
+    if use_pallas:
+        from starcop_tpu.ops.mag1c_pallas import (
+            DEFAULT_TILE_P,
+            _dividing_tile,
+            acrwl1mf_fused,
+        )
+
+    tpl = jnp.asarray(template, dtype=compute_dtype)
+
+    def unblock(v):
+        v = v[..., 0].reshape(nb, h, step).transpose(1, 0, 2).reshape(h, nb * step)
+        return v[:, :w_dim]
+
+    if (
+        use_pallas
+        and no_mask
+        and _dividing_tile(h * step, DEFAULT_TILE_P) is not None
+    ):
+        # Fast path (every pixel valid): transpose straight to the kernel's
+        # (B, S, P) streaming layout in ONE shuffle — the (B, P, S) batched
+        # view is never materialized, and the raw cube streams with in-kernel
+        # centering (see acrwl1mf_fused x_layout="bsp"). No mask, so no
+        # fill_value scatter either.
+        xt = scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
+        mf, albedo = acrwl1mf_fused(
+            xt, tpl, None, num_iter=num_iter, alpha=alpha,
+            stream_dtype=stream_dtype or compute_dtype, x_layout="bsp",
+        )
+        return unblock(mf), unblock(albedo)
+
     # (H, nb, step, S) -> (nb, H * step, S): one batch entry per column block.
     xb = scene.reshape(h, nb, step, s).transpose(1, 0, 2, 3).reshape(nb, h * step, s)
     if no_mask:
@@ -342,30 +395,18 @@ def mag1c_column_blocks(
         # of the weighting (e.g. fill values of -9999).
         xb = xb * wb[..., None].astype(xb.dtype)
 
-    if use_pallas is None:
-        # Default to the Pallas-fused kernel on TPU at f32 (≈1.7x the XLA
-        # path: one HBM read of the cube per iteration); XLA elsewhere.
-        use_pallas = (
-            compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu"
-        )
     wb_f = None if wb is None else wb.astype(compute_dtype)
     if use_pallas:
-        from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
-
         mf, albedo = acrwl1mf_fused(
-            xb, jnp.asarray(template, dtype=compute_dtype), wb_f,
+            xb, tpl, wb_f,
             num_iter=num_iter, alpha=alpha,
             stream_dtype=stream_dtype or compute_dtype,
         )
     else:
         mf, albedo = acrwl1mf(
-            xb, jnp.asarray(template, dtype=compute_dtype), wb_f,
+            xb, tpl, wb_f,
             num_iter=num_iter, alpha=alpha,
         )
-
-    def unblock(v):
-        v = v[..., 0].reshape(nb, h, step).transpose(1, 0, 2).reshape(h, nb * step)
-        return v[:, :w_dim]
 
     mf2 = jnp.where(valid[:, :w_dim], unblock(mf), fill_value)
     albedo2 = jnp.where(valid[:, :w_dim], unblock(albedo), fill_value)

@@ -18,9 +18,15 @@ layout would waste ~60% of DMA bandwidth padding 50 lanes to 128; transposed,
 padding is only S -> ceil(S/8)*8 sublanes (~10%). The one-time transpose is a
 single HBM shuffle amortized over 30+ streaming passes.
 
-The tiny O(S^2) per-iteration solve (covariance assembly, shrinkage, Cholesky,
-triangular solves, normalizer) stays in XLA between passes — it is latency-
-trivial and XLA's batched Cholesky is already optimal at S ~ 50-80.
+The tiny per-iteration solve stays in XLA between passes, but NOT as a fresh
+Cholesky: once streaming is fused, XLA's batched small-matrix factorization
+(a ~S-step sequential column loop, ~0.28 ms/iteration at B=23, S=50) becomes
+the latency bottleneck of the whole filter. Because each iteration's
+covariance is the initial covariance plus an EXACT symmetric rank-2 update
+(modx = xc - t g), the default glue solves against the once-inverted base via
+Woodbury — a handful of batched MXU matvecs (~3-4x cheaper; derivation at
+``acrwl1mf_fused``'s glue). Per-iteration Cholesky remains as ``glue=
+"cholesky"``.
 
 Numerics: the radiance is pre-centered by the per-block initial mean so the
 single-pass moment accumulation (s2/n - mu mu^T) is well-conditioned in f32;
@@ -48,6 +54,7 @@ from starcop_tpu.ops.mag1c import (
     EPSILON,
     SCALING,
     _shrink_diag,
+    _cho_inverse,
     _cho_solve_vec,
     _weighted_mean,
 )
@@ -70,7 +77,9 @@ def _dividing_tile(p0: int, tile_p: int):
 
 def _fused_iter_kernel(
     first_ref,   # SMEM (1, 1) int32: 1 -> pass mf through (init iteration)
-    x_ref,       # (1, S, T) centered radiance tile (transposed layout)
+    x_ref,       # (1, S, T) radiance tile (transposed layout)
+    m0_ref,      # (1, S, 1) centering offset: initial mean if x_ref streams
+                 #           RAW, zeros if it was pre-centered on HBM
     w_ref,       # (1, 1, T) weights
     r_ref,       # (1, 1, T) albedo factor
     mf_ref,      # (1, 1, T) mf from previous iteration
@@ -79,14 +88,20 @@ def _fused_iter_kernel(
     cit_ref,     # (1, S, 1) C^{-1} target
     norm_ref,    # (1, 1, 1) clamped normalizer
     mf_out_ref,  # (1, 1, T)
-    s1_ref,      # (1, S, 1) accumulated weighted modx row-sums
-    s2_ref,      # (1, S, S) accumulated weighted modx modx^T
+    s1_ref,      # woodbury=False: (1, S, 1) accumulated weighted modx sums
+                 # woodbury=True:  (1, S, 1) accumulated u = sum xc g
+    s2_ref,      # woodbury=False: (1, S, S) accumulated weighted modx modx^T
+                 # woodbury=True:  (1, 2, 1) accumulated [sum g, sum g^2]
     *,
     cov_scale: float,
+    woodbury: bool,
 ):
     pt = pl.program_id(1)
 
-    x = x_ref[0].astype(jnp.float32)  # (S, T); tile may stream as bf16
+    # Centering in VMEM is free (the pass is DMA-bound); streaming the RAW
+    # transposed cube with an in-kernel offset saves the caller a full
+    # HBM read+write materializing a centered copy.
+    x = x_ref[0].astype(jnp.float32) - m0_ref[0]  # (S, T); may stream as bf16
     w = w_ref[0]             # (1, T)
     r = r_ref[0]
     mf_prev = mf_ref[0]
@@ -108,6 +123,30 @@ def _fused_iter_kernel(
     mf_new = jnp.where(first_ref[0, 0] > 0, mf_prev, mf_new)
     mf_out_ref[0] = mf_new
 
+    if woodbury:
+        # modx = xc - target g with g = cov_scale R mf, so the next
+        # covariance is the FIXED initial covariance plus a symmetric rank-2
+        # correction in span{target, u} — only u = sum xc g and the scalar
+        # moments of g are needed (the S x S moment matmul disappears).
+        g = cov_scale * (r * mf_new)  # (1, T); w already folded into mf_new
+        u_tile = jax.lax.dot_general(
+            x, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, 1)
+        moments = jnp.concatenate(
+            [jnp.sum(g, axis=1, keepdims=True), jnp.sum(g * g, axis=1, keepdims=True)],
+            axis=0,
+        )  # (2, 1)
+
+        @pl.when(pt == 0)
+        def _():
+            s1_ref[:] = jnp.zeros_like(s1_ref)
+            s2_ref[:] = jnp.zeros_like(s2_ref)
+
+        s1_ref[0] += u_tile
+        s2_ref[0] += moments
+        return
+
     modx = x - cov_scale * target * (r * mf_new)  # (S,1)*(1,T) outer broadcast
     modx_w = modx * w
 
@@ -128,10 +167,11 @@ def _fused_iter_kernel(
 
 
 def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, interpret: bool,
-                     stream_dtype=jnp.float32):
+                     stream_dtype=jnp.float32, woodbury: bool = False):
     npt = p // tile_p
     grid = (b, npt)
-    kernel = functools.partial(_fused_iter_kernel, cov_scale=cov_scale)
+    kernel = functools.partial(_fused_iter_kernel, cov_scale=cov_scale, woodbury=woodbury)
+    s2_shape = (2, 1) if woodbury else (s, s)
 
     return pl.pallas_call(
         kernel,
@@ -139,6 +179,7 @@ def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, inte
         in_specs=[
             pl.BlockSpec((1, 1), lambda bb, pt: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, s, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 1), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM),
@@ -150,12 +191,12 @@ def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, inte
         out_specs=[
             pl.BlockSpec((1, 1, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, 1), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, s), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + s2_shape, lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, s, s), jnp.float32),
+            jax.ShapeDtypeStruct((b,) + s2_shape, jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -175,6 +216,8 @@ def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, inte
         "tile_p",
         "interpret",
         "stream_dtype",
+        "x_layout",
+        "glue",
     ),
 )
 def acrwl1mf_fused(
@@ -188,6 +231,8 @@ def acrwl1mf_fused(
     tile_p: int = DEFAULT_TILE_P,
     interpret: bool = False,
     stream_dtype=jnp.float32,
+    x_layout: str = "bps",
+    glue: str = "woodbury",
 ) -> Tuple[jax.Array, jax.Array]:
     """Pallas-fused albedo-corrected reweighted-L1 matched filter.
 
@@ -200,50 +245,93 @@ def acrwl1mf_fused(
     are O(1), so the 8-bit mantissa costs ~0.4% per element, averaged down in
     the 2048-deep f32 MXU accumulations). All math stays f32 in VMEM. Gate on
     the detection-fidelity tests before enabling for new sensors.
+
+    ``x_layout="bsp"`` takes ``x`` already transposed to the kernel's
+    (B, S, P) streaming layout with ALL pixels valid (``weights`` must be
+    None and P must have a lane-aligned divisor <= ``tile_p``). At f32 the
+    raw cube then streams directly — centering happens in VMEM via the
+    kernel's ``m0_ref`` offset — so no centered copy is ever materialized:
+    the caller's transpose is the only HBM-level preparation of the cube.
+    This is the full-scene serving fast path (see ``mag1c_column_blocks``).
+
+    ``glue`` selects how the per-iteration covariance system is solved
+    between streaming passes: ``"woodbury"`` (default) exploits that each
+    iteration's covariance is the initial covariance plus an exact symmetric
+    rank-2 update, solving against the once-inverted base with batched
+    matvecs (see the inline derivation); ``"cholesky"`` refactorizes every
+    iteration exactly like the XLA path. Both are pinned against the f64
+    oracle by tests.
     """
     x = jnp.asarray(x, jnp.float32)
     template = jnp.asarray(template, jnp.float32)
-    b, p0, s = x.shape
 
-    unweighted = weights is None
-    if unweighted:
-        # All pixels valid: every masking multiply below is a full HBM
-        # read+write of the cube — skip them all. Prefer a tile size that
-        # divides P exactly (lane-aligned) so no padding (hence no mask) is
-        # ever materialized; fall back to an explicit ones mask otherwise.
+    if x_layout == "bsp":
+        if weights is not None:
+            raise ValueError("x_layout='bsp' requires weights=None")
+        b, s, p0 = x.shape
         tile_p = _dividing_tile(p0, tile_p)
         if tile_p is None:
-            weights = jnp.ones((b, p0), jnp.float32)
-            unweighted = False
-            tile_p = DEFAULT_TILE_P
-
-    if unweighted:
-        w = None
+            raise ValueError(
+                "x_layout='bsp' requires P to have a multiple-of-128 divisor "
+                "<= tile_p; use the (B, P, S) layout instead"
+            )
         p = p0
         n = jnp.full((b, 1), float(p0), jnp.float32)
+        m0 = jnp.mean(x, axis=2)  # (B, S) original-units mean
+        if stream_dtype == jnp.float32:
+            xs = x  # stream RAW; the kernel subtracts m0 in VMEM
+            m0_k = m0[:, :, None]  # (B, S, 1)
+            xc_init = x - m0_k  # lazy: fuses into the init dot reads
+        else:
+            # Reduced-precision streaming must pre-center: the uncentered
+            # radiance has too much dynamic range for bf16's 8-bit mantissa.
+            xs = (x - m0[:, :, None]).astype(stream_dtype)
+            m0_k = jnp.zeros((b, s, 1), jnp.float32)
+            xc_init = xs
+        w = None
     else:
-        w = jnp.asarray(weights, jnp.float32)
-        p = -(-p0 // tile_p) * tile_p
-        if p != p0:
-            x = jnp.pad(x, ((0, 0), (0, p - p0), (0, 0)))
-            w = jnp.pad(w, ((0, 0), (0, p - p0)))
-        x = x * w[..., None]
-        n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
+        b, p0, s = x.shape
+        unweighted = weights is None
+        if unweighted:
+            # All pixels valid: every masking multiply below is a full HBM
+            # read+write of the cube — skip them all. Prefer a tile size that
+            # divides P exactly (lane-aligned) so no padding (hence no mask)
+            # is ever materialized; fall back to an explicit ones mask.
+            tile_p = _dividing_tile(p0, tile_p)
+            if tile_p is None:
+                weights = jnp.ones((b, p0), jnp.float32)
+                unweighted = False
+                tile_p = DEFAULT_TILE_P
 
-    # Pre-center for single-pass moment stability, then transpose to the
-    # kernel's (B, S, P) streaming layout (one HBM shuffle, amortized over
-    # all iterations).
-    m0 = _weighted_mean(x, w, n)[:, 0, :]  # (B, S) original-units mean
-    xc_t = x - m0[:, None, :] if w is None else (x - m0[:, None, :]) * w[..., None]
-    xc_t = jnp.swapaxes(xc_t, 1, 2)  # (B, S, P)
-    xc_t = xc_t.astype(stream_dtype)
+        if unweighted:
+            w = None
+            p = p0
+            n = jnp.full((b, 1), float(p0), jnp.float32)
+        else:
+            w = jnp.asarray(weights, jnp.float32)
+            p = -(-p0 // tile_p) * tile_p
+            if p != p0:
+                x = jnp.pad(x, ((0, 0), (0, p - p0), (0, 0)))
+                w = jnp.pad(w, ((0, 0), (0, p - p0)))
+            x = x * w[..., None]
+            n = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)  # (B, 1)
+
+        # Pre-center for single-pass moment stability, then transpose to the
+        # kernel's (B, S, P) streaming layout (one HBM shuffle, amortized
+        # over all iterations).
+        m0 = _weighted_mean(x, w, n)[:, 0, :]  # (B, S) original-units mean
+        xc_t = x - m0[:, None, :] if w is None else (x - m0[:, None, :]) * w[..., None]
+        xc_t = jnp.swapaxes(xc_t, 1, 2)  # (B, S, P)
+        xs = xc_t.astype(stream_dtype)
+        m0_k = jnp.zeros((b, s, 1), jnp.float32)
+        xc_init = xs
 
     # --- init: rmf re-expressed on the centered transposed cube ----------
     # Reference rmf semantics (mag1c.py:284-348): mean/cov of x, UNclamped
-    # normalizer, albedo R = (x.mu)/(mu.mu), ReLU. Deriving it from xc_t
-    # instead of x keeps the uncentered (B, P, S) cube single-consumer — the
-    # callers' block reshape then fuses into the m0 reduction and the xc_t
-    # shuffle and is never materialized — and reads the (possibly bf16)
+    # normalizer, albedo R = (x.mu)/(mu.mu), ReLU. Deriving it from the
+    # centered transposed view instead of x keeps the uncentered (B, P, S)
+    # cube single-consumer (its block reshape fuses into the m0 reduction /
+    # shuffle and is never materialized) and reads the (possibly bf16)
     # streamed cube twice instead of re-reading the f32 cube.
     #   cov:  w is 0/1 and xc rows are zeroed at invalid pixels, so
     #         xc.xc^T == sum_valid (x-m0)(x-m0)^T exactly;
@@ -251,16 +339,23 @@ def acrwl1mf_fused(
     #         and invalid pixels (xc = 0) land on R = 1, mf0 = 0, matching the
     #         masking the separate-rmf path applied via jnp.where.
     c0 = (
-        jnp.einsum("bsp,btp->bst", xc_t, xc_t, preferred_element_type=jnp.float32)
+        # Precision.HIGHEST: c0 seeds the once-inverted Woodbury base, and
+        # TPU's default bf16 matmul passes would bake O(4e-3) relative error
+        # into every downstream solve (condition-number amplified).
+        jnp.einsum(
+            "bsp,btp->bst", xc_init, xc_init,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         / n[..., None]
     )
     c0 = _shrink_diag(c0, alpha)
     tgt0 = template[None, :] * m0  # (B, S)
     cit0_vec = _cho_solve_vec(c0, tgt0)  # (B, S)
     norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
-    # Both init matvecs in ONE streaming read: rows [cit0; m0] against xc_t.
+    # Both init matvecs in ONE streaming read: rows [cit0; m0] against xc.
     a2 = jnp.stack([cit0_vec, m0], axis=1)  # (B, 2, S)
-    p2 = jnp.einsum("bks,bsp->bkp", a2, xc_t, preferred_element_type=jnp.float32)
+    p2 = jnp.einsum("bks,bsp->bkp", a2, xc_init, preferred_element_type=jnp.float32)
     r = p2[:, 1, :] / jnp.einsum("bs,bs->b", m0, m0)[:, None] + 1.0  # (B, P)
     mf0 = jnp.maximum(p2[:, 0, :] / (r * norm0[:, None]), 0.0)
 
@@ -276,17 +371,84 @@ def acrwl1mf_fused(
     mf0_row = mf0[:, None, :]
 
     fused = _make_fused_iter(
-        b, p, s, tile_p, covariance_update_scaling, interpret, stream_dtype=stream_dtype
+        b, p, s, tile_p, covariance_update_scaling, interpret,
+        stream_dtype=stream_dtype, woodbury=(glue == "woodbury"),
     )
 
-    def glue(carry, first):
-        mf, mu_c, target, cit, norm = carry
-        mf_new, s1, s2 = fused(first, xc_t, w_row, r_row, mf, mu_c, target, cit, norm)
+    if glue == "woodbury":
+        # The covariance of modx_i = xc - t_i g_i (g = cov_scale R mf) is the
+        # FIXED initial covariance plus a symmetric rank-2 correction:
+        #   C_i = C0_raw - u t^T - t u^T + Var(g) t t^T,  u = E[xc g]
+        # (E[xc] = 0 by pre-centering, and the mean term folds into Var(g)).
+        # With shrinkage (linear): shrink(C_i) = c0 + (1-a) U M U^T + a D,
+        #   U = [t, u], M = [[Var(g), -1], [-1, 0]], D = Diag(diag(U M U^T)).
+        # So each iteration solves against the ONE-TIME inverse of c0 via
+        # Woodbury (pure batched matvecs, MXU) plus one Neumann term for the
+        # tiny a D drift — instead of a fresh Cholesky factorization, whose
+        # ~S-step sequential column loop is the latency bottleneck of the
+        # whole filter once streaming is fused (measured ~0.28 ms/iteration
+        # vs ~0.08 ms for this update at B=23, S=50).
+        # default_matmul_precision("highest"): the factorization/solve
+        # lowering contains internal matmuls that TPU otherwise runs as bf16
+        # passes; K0's error persists across all iterations.
+        with jax.default_matmul_precision("highest"):
+            k0 = _cho_inverse(c0)
+        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
+        inv_n = 1.0 / n[:, 0]  # (B,)
+        sa = 1.0 - alpha
+
+    def glue_cholesky(s1, s2):
         mu_c_new = s1 / n[..., None]  # (B, S, 1) centered mean of modx
         c = s2 / n[..., None] - mu_c_new * jnp.swapaxes(mu_c_new, 1, 2)
         c = _shrink_diag(c, alpha)
         target_new = template[None, :, None] * (mu_c_new + m0[:, :, None])
         cit_new = _cho_solve_vec(c, target_new[:, :, 0])[:, :, None]  # (B, S, 1)
+        return mu_c_new, target_new, cit_new
+
+    def glue_woodbury(s1, s2, t_used):
+        # All contractions at Precision.HIGHEST: TPU f32 einsums default to
+        # bf16 multiplications, and this inverse-based update amplifies that
+        # error by the covariance's condition number (NaN via a mis-computed
+        # near-zero 2x2 determinant). The matrices are tiny — exactness here
+        # is latency-free.
+        hp = jax.lax.Precision.HIGHEST
+        u = s1[:, :, 0] * inv_n[:, None]  # (B, S) E[xc g]
+        gbar = s2[:, 0, 0] * inv_n  # (B,)
+        beta = s2[:, 1, 0] * inv_n - gbar * gbar  # Var(g)
+        mu_c_new = -t_used * gbar[:, None]  # E[modx] = -t E[g]
+        target_new = template[None, :] * (m0 + mu_c_new)
+        u_mat = jnp.stack([t_used, u], axis=2)  # (B, S, 2)
+        w_mat = jnp.einsum("bst,btk->bsk", k0, u_mat, precision=hp)  # (B,S,2) = K0 U
+        g_mat = jnp.einsum("bsk,bsl->bkl", u_mat, w_mat, precision=hp)  # (B, 2, 2)
+        # inner = (sa M)^{-1} + U^T K0 U;  inv(M) = [[0,-1],[-1,-beta]].
+        i00 = g_mat[:, 0, 0]
+        i01 = g_mat[:, 0, 1] - 1.0 / sa
+        i10 = g_mat[:, 1, 0] - 1.0 / sa
+        i11 = g_mat[:, 1, 1] - beta / sa
+        det = i00 * i11 - i01 * i10
+
+        def a0inv(v):  # (B, S) -> (c0 + sa U M U^T)^{-1} v
+            kv = jnp.einsum("bst,bt->bs", k0, v, precision=hp)
+            y = jnp.einsum("bsk,bs->bk", w_mat, v, precision=hp)  # U^T K0 v
+            x0 = (i11 * y[:, 0] - i01 * y[:, 1]) / det
+            x1 = (-i10 * y[:, 0] + i00 * y[:, 1]) / det
+            return kv - w_mat[:, :, 0] * x0[:, None] - w_mat[:, :, 1] * x1[:, None]
+
+        z = a0inv(target_new)
+        if alpha:
+            # One Neumann term for the shrinkage-diagonal drift a Diag(d):
+            # relative residual (a ||D|| ||A0^{-1}||)^2 — far below f32 noise.
+            d = beta[:, None] * t_used * t_used - 2.0 * t_used * u
+            z = z - a0inv(alpha * d * z)
+        return mu_c_new[:, :, None], target_new[:, :, None], z[:, :, None]
+
+    def glue_fn(carry, first):
+        mf, mu_c, target, cit, norm = carry
+        mf_new, s1, s2 = fused(first, xs, m0_k, w_row, r_row, mf, mu_c, target, cit, norm)
+        if glue == "woodbury":
+            mu_c_new, target_new, cit_new = glue_woodbury(s1, s2, target[:, :, 0])
+        else:
+            mu_c_new, target_new, cit_new = glue_cholesky(s1, s2)
         norm_new = jnp.maximum(
             jnp.einsum("bs,bs->b", target_new[:, :, 0], cit_new[:, :, 0])[:, None, None],
             1.0,
@@ -297,17 +459,17 @@ def acrwl1mf_fused(
     not_first = jnp.zeros((1, 1), jnp.int32)
 
     # Init call consumes the pass-through iteration (stats of modx(mf_0)).
-    carry = glue((mf0_row, mu_c0, target0, cit0, norm0), first_flag)
+    carry = glue_fn((mf0_row, mu_c0, target0, cit0, norm0), first_flag)
 
     def body(_, carry):
-        return glue(carry, not_first)
+        return glue_fn(carry, not_first)
 
     carry = jax.lax.fori_loop(0, num_iter - 1, body, carry)
     mf, mu_c, target, cit, norm = carry
 
     # One final mf-only evaluation applies the last statistics (matches the
     # reference loop ordering: stats then mf, num_iter times).
-    mf_final, _, _ = fused(not_first, xc_t, w_row, r_row, mf, mu_c, target, cit, norm)
+    mf_final, _, _ = fused(not_first, xs, m0_k, w_row, r_row, mf, mu_c, target, cit, norm)
 
     mf_out = (mf_final[:, 0, :] * w * SCALING)[:, :p0, None]
     r_out = jnp.where(w > 0, r, 1.0)[:, :p0, None]

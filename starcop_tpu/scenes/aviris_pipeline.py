@@ -101,6 +101,16 @@ def run_mag1c_groups(
     sizes = [len(gi) for gi in group_indices]
     buckets = _bucket_sizes(sizes)
 
+    # Same auto-selection as mag1c_column_blocks: the Pallas-fused kernel's
+    # weighted path on TPU at f32 (one streaming read per iteration +
+    # Woodbury-updated solves), plain XLA elsewhere.
+    import jax
+
+    if compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
+        from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused as _mf_kernel
+    else:
+        _mf_kernel = acrwl1mf
+
     # Group the groups by bucket so each device call has a uniform shape.
     by_bucket: Dict[int, list] = {}
     for gi in group_indices:
@@ -119,7 +129,7 @@ def run_mag1c_groups(
             for j, gi in enumerate(chunk):
                 xb[j, : len(gi)] = flat_rad[gi]
                 wb[j, : len(gi)] = 1.0
-            mf, albedo = acrwl1mf(
+            mf, albedo = _mf_kernel(
                 jnp.asarray(xb, compute_dtype),
                 template,
                 jnp.asarray(wb, compute_dtype),

@@ -238,6 +238,70 @@ def test_fused_pallas_none_weights_matches_ones(synthetic_radiance):
     assert _dividing_tile(130, 8192) is None  # not lane-divisible -> fallback
 
 
+def test_fused_pallas_bsp_layout_matches_bps(synthetic_radiance):
+    """x_layout='bsp' (pre-transposed raw cube, in-kernel centering via the
+    kernel's m0 offset — the serving fast path) must match the (B, P, S)
+    layout, which pre-centers on HBM. Also pins the bf16 variant (which
+    pre-centers even under bsp) and the layout's argument contract."""
+    import pytest
+
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = jnp.asarray(x64.astype(np.float32))
+    tpl = jnp.asarray(template, jnp.float32)
+    xt = jnp.swapaxes(x, 1, 2)  # (B, S, P)
+    kw = dict(num_iter=4, alpha=1e-4, tile_p=256, interpret=True)
+    mf_a, r_a = acrwl1mf_fused(x, tpl, None, **kw)
+    mf_b, r_b = acrwl1mf_fused(xt, tpl, None, x_layout="bsp", **kw)
+    a = np.asarray(mf_a)[..., 0].ravel()
+    bb = np.asarray(mf_b)[..., 0].ravel()
+    # Raw-streamed + VMEM-centered vs HBM-pre-centered: identical math, sums
+    # taken in different orders; compare like the other layout-variant tests.
+    assert np.corrcoef(a, bb)[0, 1] > 0.9999
+    np.testing.assert_array_equal(a > 500, bb > 500)
+    np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_a), rtol=1e-5)
+
+    mf_c, _ = acrwl1mf_fused(
+        xt, tpl, None, x_layout="bsp", stream_dtype=jnp.bfloat16, **kw
+    )
+    cc = np.asarray(mf_c)[..., 0].ravel()
+    assert ((cc > 500) == (a > 500)).mean() > 0.998
+
+    with pytest.raises(ValueError, match="weights=None"):
+        acrwl1mf_fused(xt, tpl, jnp.ones(xt.shape[::2], jnp.float32),
+                       x_layout="bsp", **kw)
+    with pytest.raises(ValueError, match="divisor"):
+        acrwl1mf_fused(xt[:, :, :130], tpl, None, x_layout="bsp", **kw)
+
+
+def test_fused_pallas_woodbury_glue_matches_cholesky(synthetic_radiance):
+    """The default Woodbury glue (rank-2 covariance update solved against the
+    once-inverted base + one Neumann term for the shrinkage-diagonal drift)
+    must match per-iteration Cholesky refactorization to f32 round-off, on
+    both the unweighted and the masked path."""
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = jnp.asarray(x64.astype(np.float32))
+    tpl = jnp.asarray(template, jnp.float32)
+    wmask = np.ones(x.shape[:2], np.float32)
+    wmask[:, -40:] = 0.0
+    for weights in (None, jnp.asarray(wmask)):
+        kw = dict(num_iter=6, alpha=1e-4, tile_p=256, interpret=True)
+        mf_ch, r_ch = acrwl1mf_fused(x, tpl, weights, glue="cholesky", **kw)
+        mf_wb, r_wb = acrwl1mf_fused(x, tpl, weights, glue="woodbury", **kw)
+        a = np.asarray(mf_ch).ravel()
+        bb = np.asarray(mf_wb).ravel()
+        assert np.corrcoef(a, bb)[0, 1] > 0.99999
+        assert ((a > 500) == (bb > 500)).mean() > 0.999
+        det = a > 100
+        if det.any():
+            rel = np.abs(bb - a)[det] / a[det]
+            assert np.median(rel) < 1e-3
+        np.testing.assert_allclose(np.asarray(r_wb), np.asarray(r_ch), rtol=1e-6)
+
+
 def test_column_blocks_no_mask_matches_masked(synthetic_radiance):
     """mag1c_column_blocks with valid_mask=None (fast path: no mask built)
     equals the same call with an explicit all-true mask."""
