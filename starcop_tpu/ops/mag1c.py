@@ -360,6 +360,7 @@ def mag1c_column_blocks(
             DEFAULT_TILE_P,
             _dividing_tile,
             acrwl1mf_fused,
+            blocked_transpose,
         )
 
     tpl = jnp.asarray(template, dtype=compute_dtype)
@@ -377,8 +378,12 @@ def mag1c_column_blocks(
         # (B, S, P) streaming layout in ONE shuffle — the (B, P, S) batched
         # view is never materialized, and the raw cube streams with in-kernel
         # centering (see acrwl1mf_fused x_layout="bsp"). No mask, so no
-        # fill_value scatter either.
-        xt = scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
+        # fill_value scatter either. The shuffle itself goes through a Pallas
+        # kernel (contiguous slab reads; ~2x XLA's lowering) when a row tile
+        # divides H.
+        xt = blocked_transpose(scene, nb, step)
+        if xt is None:
+            xt = scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
         mf, albedo = acrwl1mf_fused(
             xt, tpl, None, num_iter=num_iter, alpha=alpha,
             stream_dtype=stream_dtype or compute_dtype, x_layout="bsp",

@@ -75,6 +75,72 @@ def _dividing_tile(p0: int, tile_p: int):
     return None
 
 
+def _blocked_transpose_kernel(x_ref, out_ref):
+    # x_ref: (Th, 1, step, S) scene slab -> out_ref: (1, S, Th*step).
+    th, _, st, s = x_ref.shape
+    x = x_ref[...]
+    out_ref[0] = jnp.transpose(x.reshape(th * st, s))
+
+
+def blocked_transpose(
+    scene: jax.Array, nb: int, step: int, *, interpret: bool = False
+) -> Optional[jax.Array]:
+    """(H, nb*step, S) scene -> (nb, S, H*step) column-block streaming layout.
+
+    Pallas equivalent of
+    ``scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, -1)``.
+    XLA's lowering of that shuffle reads the scene in S-minor order — with
+    S ~ 50 bands that is ~200 B per contiguous span, ~30% of DMA peak
+    (measured 2.5 ms for a 318 MB scene vs ~0.8 ms speed of light). This
+    kernel reads contiguous (Th, step*S) slabs (~10 KB spans), transposes in
+    VMEM, and writes (S, Th*step) output rows.
+
+    The scene is viewed as (H, nb, step, S) so every block spans the full
+    trailing (step, S) dims (Mosaic requires the last two block dims to be
+    (8, 128)-divisible or full). The row tile Th must divide H and make
+    Th*step lane-aligned; returns None when no such tile exists (caller
+    falls back to the XLA expression).
+    """
+    h, w, s = scene.shape
+    if w != nb * step:
+        raise ValueError("scene width must equal nb*step")
+    budget = 2 * 1024 * 1024
+    tile_h = None
+    for th in range(min(h, 512), 0, -1):
+        if h % th:
+            continue
+        if th * step * s * 4 > budget:
+            continue
+        # Output block (1, S, th*step): last dim must be 128-divisible (or
+        # the tile must cover all of H so it equals the full dimension).
+        if (th * step) % 128 == 0 or th == h:
+            tile_h = th
+            break
+    if tile_h is None:
+        return None
+
+    scene4 = scene.reshape(h, nb, step, s)
+    return pl.pallas_call(
+        _blocked_transpose_kernel,
+        grid=(nb, h // tile_h),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_h, 1, step, s),
+                lambda b, ht: (ht, b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, tile_h * step), lambda b, ht: (b, 0, ht), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, s, h * step), scene.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=2 * h * w * s * 4, transcendentals=0
+        ),
+    )(scene4)
+
+
 def _fused_iter_kernel(
     first_ref,   # SMEM (1, 1) int32: 1 -> pass mf through (init iteration)
     x_ref,       # (1, S, T) radiance tile (transposed layout)

@@ -275,6 +275,26 @@ def test_fused_pallas_bsp_layout_matches_bps(synthetic_radiance):
         acrwl1mf_fused(xt[:, :, :130], tpl, None, x_layout="bsp", **kw)
 
 
+def test_blocked_transpose_matches_xla():
+    """Pallas scene->streaming-layout shuffle == the XLA reshape/transpose
+    expression, across tile-selection regimes (tile < H, tile == H, and the
+    lane-alignment fallback)."""
+    from starcop_tpu.ops.mag1c_pallas import blocked_transpose
+
+    rng = np.random.default_rng(0)
+    for h, nb, step, s in ((64, 3, 18, 7), (128, 2, 54, 50), (96, 4, 16, 24)):
+        x = rng.normal(size=(h, nb * step, s)).astype(np.float32)
+        want = x.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
+        got = blocked_transpose(jnp.asarray(x), nb, step, interpret=True)
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="width"):
+        blocked_transpose(jnp.zeros((8, 10, 4), jnp.float32), 3, 4, interpret=True)
+
+
 def test_fused_pallas_woodbury_glue_matches_cholesky(synthetic_radiance):
     """The default Woodbury glue (rank-2 covariance update solved against the
     once-inverted base + one Neumann term for the shrinkage-diagonal drift)
