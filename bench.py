@@ -90,7 +90,8 @@ def main():
     # Numerics guard: TPU-only precision behavior can diverge from the CPU
     # test suite (seen once: default bf16 matmul passes NaN-ing the Woodbury
     # glue). A benchmark of garbage is not a benchmark — fail loudly.
-    assert np.isfinite(mf).all(), "matched-filter output contains non-finite values"
+    if not np.isfinite(mf).all():  # not assert: must survive python -O
+        raise RuntimeError("matched-filter output contains non-finite values")
     print(
         f"TPU: compile {compile_s:.1f}s, steady {tpu_s:.4f}s/scene pipelined x{PIPELINE} "
         f"({H * W / tpu_s / 1e6:.1f} Mpx/s), mf max {mf.max():.0f}",

@@ -290,6 +290,7 @@ def acrwl1mf(
         "compute_dtype",
         "use_pallas",
         "stream_dtype",
+        "interpret",
     ),
 )
 def mag1c_column_blocks(
@@ -304,6 +305,7 @@ def mag1c_column_blocks(
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
     stream_dtype=None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the matched filter over a full scene in uniform column blocks.
 
@@ -325,6 +327,9 @@ def mag1c_column_blocks(
             streaming passes (default = compute_dtype). ``jnp.bfloat16``
             halves HBM traffic (~15% faster full-scene) at pinned detection
             fidelity (tests/test_mag1c.py bf16 tests).
+        interpret: run Pallas kernels in interpreter mode — lets the CPU test
+            suite exercise the TPU fast path end to end
+            (``use_pallas=True, interpret=True``).
 
     Returns:
         (mf, albedo): (H, W) arrays with ``fill_value`` at invalid pixels.
@@ -381,12 +386,13 @@ def mag1c_column_blocks(
         # fill_value scatter either. The shuffle itself goes through a Pallas
         # kernel (contiguous slab reads; ~2x XLA's lowering) when a row tile
         # divides H.
-        xt = blocked_transpose(scene, nb, step)
+        xt = blocked_transpose(scene, nb, step, interpret=interpret)
         if xt is None:
             xt = scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
         mf, albedo = acrwl1mf_fused(
             xt, tpl, None, num_iter=num_iter, alpha=alpha,
             stream_dtype=stream_dtype or compute_dtype, x_layout="bsp",
+            interpret=interpret,
         )
         return unblock(mf), unblock(albedo)
 
@@ -406,6 +412,7 @@ def mag1c_column_blocks(
             xb, tpl, wb_f,
             num_iter=num_iter, alpha=alpha,
             stream_dtype=stream_dtype or compute_dtype,
+            interpret=interpret,
         )
     else:
         mf, albedo = acrwl1mf(

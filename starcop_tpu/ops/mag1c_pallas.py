@@ -266,7 +266,8 @@ def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, inte
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * p * s * (s + 2),
+            # woodbury mode drops the (S, S) moment matmul for an (S,) matvec.
+            flops=2 * b * p * s * (3 if woodbury else s + 2),
             bytes_accessed=b * p * s * 4,
             transcendentals=0,
         ),
@@ -428,10 +429,13 @@ def acrwl1mf_fused(
     if w is None:
         w = jnp.ones((b, p), jnp.float32)  # kernel row input only (tiny reads)
 
-    target0 = (template[None, :] * m0)[:, :, None]  # (B, S, 1)
+    # Dummy carry entries for the pass-through first call (the kernel ignores
+    # mu/cit/norm when ``first`` is set; it only passes mf0 through and
+    # accumulates modx statistics).
+    target0 = tgt0[:, :, None]  # (B, S, 1)
     mu_c0 = jnp.zeros((b, s, 1), jnp.float32)
     cit0 = jnp.zeros((b, s, 1), jnp.float32)
-    norm0 = jnp.ones((b, 1, 1), jnp.float32)
+    norm_init = jnp.ones((b, 1, 1), jnp.float32)
     w_row = w[:, None, :]  # (B, 1, P)
     r_row = r[:, None, :]
     mf0_row = mf0[:, None, :]
@@ -525,7 +529,7 @@ def acrwl1mf_fused(
     not_first = jnp.zeros((1, 1), jnp.int32)
 
     # Init call consumes the pass-through iteration (stats of modx(mf_0)).
-    carry = glue_fn((mf0_row, mu_c0, target0, cit0, norm0), first_flag)
+    carry = glue_fn((mf0_row, mu_c0, target0, cit0, norm_init), first_flag)
 
     def body(_, carry):
         return glue_fn(carry, not_first)

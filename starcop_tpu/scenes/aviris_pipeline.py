@@ -103,13 +103,22 @@ def run_mag1c_groups(
 
     # Same auto-selection as mag1c_column_blocks: the Pallas-fused kernel's
     # weighted path on TPU at f32 (one streaming read per iteration +
-    # Woodbury-updated solves), plain XLA elsewhere.
+    # Woodbury-updated solves), plain XLA elsewhere. tile_p is matched to the
+    # bucket (lane-aligned) — the kernel's default 8192 tile would pad small
+    # buckets' pixel axis up to 64x, inflating per-iteration streaming work.
     import jax
 
     if compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
-        from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused as _mf_kernel
+        from starcop_tpu.ops.mag1c_pallas import DEFAULT_TILE_P, acrwl1mf_fused
+
+        def _mf_kernel(xb, tpl, wb, *, p_max, **kw):
+            tile_p = min(DEFAULT_TILE_P, -(-p_max // 128) * 128)
+            return acrwl1mf_fused(xb, tpl, wb, tile_p=tile_p, **kw)
+
     else:
-        _mf_kernel = acrwl1mf
+
+        def _mf_kernel(xb, tpl, wb, *, p_max, **kw):
+            return acrwl1mf(xb, tpl, wb, **kw)
 
     # Group the groups by bucket so each device call has a uniform shape.
     by_bucket: Dict[int, list] = {}
@@ -133,6 +142,7 @@ def run_mag1c_groups(
                 jnp.asarray(xb, compute_dtype),
                 template,
                 jnp.asarray(wb, compute_dtype),
+                p_max=p_max,
                 num_iter=num_iter,
                 alpha=alpha,
                 covariance_update_scaling=covariance_update_scaling,

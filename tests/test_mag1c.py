@@ -275,6 +275,33 @@ def test_fused_pallas_bsp_layout_matches_bps(synthetic_radiance):
         acrwl1mf_fused(xt[:, :, :130], tpl, None, x_layout="bsp", **kw)
 
 
+def test_column_blocks_pallas_fast_path_matches_xla():
+    """The integrated TPU serving fast path of mag1c_column_blocks
+    (blocked_transpose -> x_layout='bsp' -> unblock, no mask scatter) vs the
+    plain XLA path, driven end to end via use_pallas=True + interpret=True.
+    Pins the composition (layouts, unblock ordering), not just the pieces."""
+    rng = np.random.default_rng(5)
+    h, w, s = 64, 36, 12  # step 18 -> p0 = 64*18 = 1152 = 9*128 (lane-aligned)
+    template = -np.abs(np.sin(np.linspace(0.3, 3 * np.pi, s)))
+    base = rng.uniform(2.0, 6.0, size=(1, 1, s))
+    x = rng.uniform(0.5, 2.0, (h, w, 1)) * base * (1 + 0.02 * rng.normal(size=(h, w, s)))
+    conc = np.zeros((h, w))
+    conc[10:20, 4:12] = rng.uniform(1000, 6000, size=(10, 8))  # injected plume
+    x = x * np.exp(conc[..., None] * template[None, None, :] / 1e5)
+    xd = jnp.asarray(x, jnp.float32)
+    tpl = jnp.asarray(template, jnp.float32)
+    kw = dict(column_step=18, num_iter=4, alpha=1e-4)
+    mf_p, alb_p = m.mag1c_column_blocks(xd, tpl, None, use_pallas=True,
+                                        interpret=True, **kw)
+    mf_x, alb_x = m.mag1c_column_blocks(xd, tpl, None, use_pallas=False, **kw)
+    a = np.asarray(mf_x).ravel()
+    bb = np.asarray(mf_p).ravel()
+    assert mf_p.shape == (h, w)
+    assert np.corrcoef(a, bb)[0, 1] > 0.9999
+    assert ((a > 500) == (bb > 500)).mean() > 0.999  # f32 paths; near-threshold px may flip
+    np.testing.assert_allclose(np.asarray(alb_p), np.asarray(alb_x), rtol=1e-4)
+
+
 def test_blocked_transpose_matches_xla():
     """Pallas scene->streaming-layout shuffle == the XLA reshape/transpose
     expression, across tile-selection regimes (tile < H, tile == H, and the
