@@ -226,6 +226,36 @@ def test_config_defaults_and_overrides():
         cfg.apply_overrides(["nope.nope=1"])
 
 
+def test_paper_recipes_overrides_valid():
+    """Every CLI invocation in examples/recipes.sh must stay valid against
+    the config schema, and its input products must exist in the feature
+    registry / normalization table — pins the paper-recipe parity surface
+    (reference bash_train_example.sh) against CLI or registry drift."""
+    import pathlib
+    import shlex
+
+    from starcop_tpu.data.features import FEATURES
+    from starcop_tpu.data.normalizer import BAND_NORMALIZATION
+
+    text = pathlib.Path("examples/recipes.sh").read_text()
+    invocations = []
+    for block in text.split("python -m starcop_tpu.cli.train")[1:]:
+        lines = block.replace("\\\n", " ").splitlines()[0]
+        overrides = [t for t in shlex.split(lines) if "=" in t]
+        invocations.append(overrides)
+    assert len(invocations) == 5  # the 5 published recipes
+
+    known_products = set(BAND_NORMALIZATION) | set(FEATURES)
+    for overrides in invocations:
+        cfg = Config()
+        # root_folder placeholder from the script's $ROOT expansion
+        overrides = [o.replace('"$ROOT"', "/tmp/x") for o in overrides]
+        cfg.apply_overrides(overrides)  # raises on schema drift
+        assert cfg.dataset.input_products, overrides
+        for prod in cfg.dataset.input_products:
+            assert prod in known_products or prod.startswith("TOA_AVIRIS"), prod
+
+
 def test_config_roundtrip(tmp_path):
     import yaml
 
