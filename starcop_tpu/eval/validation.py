@@ -124,6 +124,11 @@ def run_validation(
         thresholds: PR-sweep thresholds (default: the reference grid).
         apply_threshold: optional fn(prediction, thr) -> binary (baselines'
             morphology-aware thresholding); default ``prediction > thr``.
+            Batched contract: the fn is called ONCE per (B, ...) batch, not
+            per tile like the reference's batch_size==1 loop, so it must be
+            vectorized over the batch axis with per-sample semantics (the
+            in-repo baselines' morphology is per-sample, so results are
+            identical; a fn with cross-sample behavior would diverge).
         path_save_results: directory for results.csv / results_agg.json / plots.
         mask_from_magic: restrict CMs to valid pixels via batch["nodata_mask"]
             (orthorectified EMIT scenes).

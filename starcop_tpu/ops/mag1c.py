@@ -88,9 +88,8 @@ def _shrink_diag(c: jax.Array, alpha: float) -> jax.Array:
     return c + alpha * (diag - c)
 
 
-def _cho_solve_vec(c: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve C z = b for SPD C. c: (B,S,S), b: (B,S) -> (B,S)."""
-    chol = jnp.linalg.cholesky(c)
+def _solve_from_factor(chol: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve C z = b given the Cholesky factor of C. chol: (B,S,S), b: (B,S)."""
     y = jax.lax.linalg.triangular_solve(
         chol, b[..., None], left_side=True, lower=True, transpose_a=False
     )
@@ -98,6 +97,35 @@ def _cho_solve_vec(c: jax.Array, b: jax.Array) -> jax.Array:
         chol, y, left_side=True, lower=True, transpose_a=True
     )
     return z[..., 0]
+
+
+def _cho_solve_vec(c: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve C z = b for SPD C. c: (B,S,S), b: (B,S) -> (B,S)."""
+    return _solve_from_factor(jnp.linalg.cholesky(c), b)
+
+
+def _energy_residual(x: jax.Array, mu: jax.Array, w, chol: jax.Array) -> jax.Array:
+    """The reference's per-iteration "energy" diagnostic, TPU-native.
+
+    The reference materializes the full (B, P, P) product
+    ``bmm(x - mu, cholesky_solve((x - mu)^T, chol))`` and sums every entry
+    (/root/reference/starcop/models/mag1c.py:271-274,338). Algebraically
+    ``sum_{ij} xm_i^T C^{-1} xm_j == s^T C^{-1} s`` with ``s = sum_p xm_p``,
+    so the O(P^2) intermediate is never needed — one row-sum and one (S,S)
+    triangular solve per batch entry.
+
+    Weighted deviation (documented): with a validity mask the reference still
+    sums over ALL pixel rows, including invalid ones; here padding rows are
+    excluded (s sums w * (x - mu)), which is the meaningful statistic for the
+    padded-batch layout. Exact parity holds for the unmasked production path.
+    """
+    xm_sum = (
+        jnp.sum(x - mu, axis=1)
+        if w is None
+        else jnp.einsum("bp,bps->bs", w, x - mu)
+    )  # (B, S)
+    cinv_s = _solve_from_factor(chol, xm_sum)
+    return jnp.einsum("bs,bs->", xm_sum, cinv_s)
 
 
 def _cho_inverse(c: jax.Array) -> jax.Array:
@@ -123,6 +151,7 @@ def _cho_inverse(c: jax.Array) -> jax.Array:
         "zero_override",
         "albedo_override",
         "apply_scaling",
+        "compute_energy",
     ),
 )
 def rmf(
@@ -134,7 +163,8 @@ def rmf(
     zero_override: bool = False,
     albedo_override: bool = False,
     apply_scaling: bool = True,
-) -> Tuple[jax.Array, jax.Array]:
+    compute_energy: bool = False,
+):
     """Single-pass reweighted matched filter.
 
     Args:
@@ -147,9 +177,17 @@ def rmf(
         zero_override: skip the non-negativity ReLU.
         albedo_override: skip the albedo correction (R = 1).
         apply_scaling: multiply the result by 1e5 (ppm x m units).
+        compute_energy: also return the reference's scalar energy diagnostic
+            (mag1c.py:337-343): the summed Mahalanobis residual (see
+            ``_energy_residual``) plus ``N/2 * log(1/prod(diag(chol)))`` —
+            computed here as ``-N/2 * sum(log diag(chol))``, the same value
+            without the overflow-prone explicit product. When set, scaling is
+            NOT applied before the energy (matching the reference's ordering)
+            and the return is ``(mf, R, energy)``.
 
     Returns:
-        (mf, R): matched-filter score (B, P, 1) and albedo factor (B, P, 1).
+        (mf, R): matched-filter score (B, P, 1) and albedo factor (B, P, 1);
+        plus the scalar energy when ``compute_energy`` is set.
     """
     w, n = _weighted_stats_dtype(x, weights)
     template = template.astype(x.dtype)
@@ -160,7 +198,8 @@ def rmf(
 
     c = _weighted_cov(x_minus_mu, w, n)
     c = _shrink_diag(c, alpha)
-    cit = _cho_solve_vec(c, target[:, 0, :])[:, :, None]  # (B, S, 1)
+    chol = jnp.linalg.cholesky(c)
+    cit = _solve_from_factor(chol, target[:, 0, :])[:, :, None]  # (B, S, 1)
     normalizer = jnp.einsum("bs,bso->bo", target[:, 0, :], cit)[:, None, :]  # (B,1,1)
 
     if albedo_override:
@@ -173,6 +212,13 @@ def rmf(
     mf = jnp.einsum("bps,bso->bpo", x_minus_mu, cit) / (r * normalizer)
     if not zero_override:
         mf = jax.nn.relu(mf)
+    if compute_energy:
+        # Reference (mag1c.py:338-341): residual + N/2 * log(det(C)^{-1/2}),
+        # with the det taken over the WHOLE batch (prod across b and s).
+        n_ref = float(x.shape[1])
+        logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+        energy = _energy_residual(x, mu, w, chol) - 0.5 * n_ref * logdet
+        return mf, r, energy
     if apply_scaling:
         mf = mf * SCALING
     return mf, r
@@ -187,6 +233,7 @@ def rmf(
         "sparse_override",
         "covariance_update_scaling",
         "alpha",
+        "compute_energy",
     ),
 )
 def acrwl1mf(
@@ -200,7 +247,8 @@ def acrwl1mf(
     sparse_override: bool = False,
     covariance_update_scaling: float = 1.0,
     alpha: float = 0.0,
-) -> Tuple[jax.Array, jax.Array]:
+    compute_energy: bool = False,
+):
     """Albedo-corrected reweighted-L1 matched filter (iterative).
 
     Iteratively removes the detected signal from the background statistics and
@@ -214,16 +262,23 @@ def acrwl1mf(
         num_iter: reweighting iterations (reference default 30).
         covariance_update_scaling: scale of the signal-removal term.
         alpha: diagonal covariance shrinkage (1e-4 for EMIT).
+        compute_energy: also return the per-iteration energy series
+            (reference mag1c.py:185,221-278): element 0 is the rmf init
+            energy (residual + log-det term), elements 1..num_iter are the
+            per-iteration summed Mahalanobis residuals (no det term). Shape
+            (num_iter + 1,). See ``_energy_residual`` for the O(P) identity
+            replacing the reference's (B, P, P) materialization.
 
     Returns:
-        (mf, R): (B, P, 1) matched filter in ppm x m (scaled 1e5), albedo (B, P, 1).
+        (mf, R): (B, P, 1) matched filter in ppm x m (scaled 1e5), albedo (B, P, 1);
+        plus the (num_iter + 1,) energy series when ``compute_energy`` is set.
     """
     w, n = _weighted_stats_dtype(x, weights)
     template = template.astype(x.dtype)
     tpl = template[None, None, :]  # (1, 1, S)
     w3 = None if w is None else w[..., None]
 
-    mf, r = rmf(
+    out = rmf(
         x,
         template,
         weights,
@@ -231,7 +286,10 @@ def acrwl1mf(
         zero_override=zero_override,
         albedo_override=albedo_override,
         apply_scaling=False,
+        compute_energy=compute_energy,
     )
+    mf, r = out[:2]
+    energy0 = out[2] if compute_energy else None
     # Invalid (weight-0) pixels can carry R == 0 (e.g. zero-filled padding),
     # which would inject inf/NaN through the 1/R regularizer. Their values are
     # masked out of every statistic and of the outputs, so pin R = 1 there.
@@ -241,8 +299,8 @@ def acrwl1mf(
 
     target0 = tpl * _weighted_mean(x, w, n)  # (B, 1, S)
 
-    def body(_, carry):
-        mf, target = carry
+    def body(i, carry):
+        mf, target, energies = carry
         # Remove current detections from the background estimate.
         modx = x - covariance_update_scaling * r * mf * target
         mu = _weighted_mean(modx, w, n)
@@ -252,7 +310,12 @@ def acrwl1mf(
 
         c = _weighted_cov(modx_minus_mu, w, n)
         c = _shrink_diag(c, alpha)
-        cit = _cho_solve_vec(c, new_target[:, 0, :])[:, :, None]  # (B, S, 1)
+        chol = jnp.linalg.cholesky(c)
+        cit = _solve_from_factor(chol, new_target[:, 0, :])[:, :, None]  # (B, S, 1)
+        if compute_energy:
+            # Per-iteration energy: residual only (reference mag1c.py:270-274
+            # appends sum(norm_residual) with no det term inside the loop).
+            energies = energies.at[i + 1].set(_energy_residual(x, mu, w, chol))
 
         if sparse_override:
             regularizer = jnp.zeros_like(mf)
@@ -272,11 +335,16 @@ def acrwl1mf(
         # through the regularizer/covariance-update pathway with NaN/Inf.
         if w3 is not None:
             new_mf = new_mf * w3
-        return new_mf, new_target
+        return new_mf, new_target, energies
 
     if w3 is not None:
         mf = mf * w3
-    mf, _ = jax.lax.fori_loop(0, num_iter, body, (mf, target0))
+    energies0 = jnp.zeros((num_iter + 1,), x.dtype)
+    if compute_energy:
+        energies0 = energies0.at[0].set(energy0)
+    mf, _, energies = jax.lax.fori_loop(0, num_iter, body, (mf, target0, energies0))
+    if compute_energy:
+        return mf * SCALING, r, energies
     return mf * SCALING, r
 
 
@@ -431,12 +499,18 @@ def reference_oracle_acrwl1mf(
     num_iter: int = 30,
     covariance_update_scaling: float = 1.0,
     alpha: float = 0.0,
-) -> Tuple[np.ndarray, np.ndarray]:
+    compute_energy: bool = False,
+):
     """Float64 numpy restatement of the reference matched-filter math.
 
     Used as the golden oracle in tests (and for CPU parity checks). This is an
     independent implementation of the published algorithm (Foote et al., IEEE
     TGRS 2020), not a port of any framework code.
+
+    ``compute_energy`` reproduces the reference's per-iteration energy series
+    (mag1c.py:185,221-278) LITERALLY — the full (B, P, P) Mahalanobis product
+    summed over every entry — so the production path's O(P) algebraic identity
+    (``_energy_residual``) is verified against an independent statement.
     """
     x = np.asarray(x, dtype=np.float64)
     template = np.asarray(template, dtype=np.float64)
@@ -450,6 +524,15 @@ def reference_oracle_acrwl1mf(
         c = (1 - alpha) * c + alpha * np.eye(s)[None] * np.diagonal(c, axis1=1, axis2=2)[:, None, :]
         return mu, c
 
+    def energy_residual(x_minus_mu, c):
+        # Literal reference computation: bmm(xm, C^{-1} xm^T) is (B, P, P).
+        return float(
+            sum(
+                np.sum(x_minus_mu[i] @ np.linalg.solve(c[i], x_minus_mu[i].T))
+                for i in range(b)
+            )
+        )
+
     mu, c = stats(x)
     target = tpl * mu
     x_minus_mu = x - mu
@@ -460,6 +543,14 @@ def reference_oracle_acrwl1mf(
     )[:, None, None]
     mf = np.maximum(np.einsum("bps,bso->bpo", x_minus_mu, cit) / (r * normalizer), 0.0)
 
+    energies = []
+    if compute_energy:
+        # rmf init energy: residual + N/2 * log(1 / prod(diag chol)), the
+        # det product spanning the whole batch (reference mag1c.py:338-341).
+        chol = np.linalg.cholesky(c)
+        det_cov = 1.0 / np.prod(np.diagonal(chol, axis1=-2, axis2=-1))
+        energies.append(energy_residual(x_minus_mu, c) + p / 2.0 * np.log(det_cov))
+
     target = tpl * x.mean(axis=1, keepdims=True)
     for _ in range(num_iter):
         modx = x - covariance_update_scaling * r * mf * target
@@ -467,6 +558,8 @@ def reference_oracle_acrwl1mf(
         target = tpl * mu
         x_minus_mu = x - mu
         cit = np.linalg.solve(c, target[:, 0, :, None])
+        if compute_energy:
+            energies.append(energy_residual(x_minus_mu, c))
         regularizer = 1.0 / (r * (mf + EPSILON))
         normalizer = np.maximum(
             np.einsum("bs,bso->bo", target[:, 0, :], cit)[:, None, :], 1.0
@@ -475,4 +568,6 @@ def reference_oracle_acrwl1mf(
             (np.einsum("bps,bso->bpo", x_minus_mu, cit) - regularizer) / (r * normalizer),
             0.0,
         )
+    if compute_energy:
+        return mf * SCALING, r, np.asarray(energies)
     return mf * SCALING, r

@@ -274,6 +274,221 @@ def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, inte
     )
 
 
+# ---------------------------------------------------------------------------
+# Fully-fused iteration: one pallas_call per iteration, Woodbury glue on the
+# VPU at the last pixel tile (glue="fused", the default)
+# ---------------------------------------------------------------------------
+
+
+def _k0_matvec(k0, v):
+    """(S, S) @ (S, 1) -> (S, 1) on the VPU (exact f32).
+
+    The Woodbury update amplifies matmul rounding by the covariance's
+    condition number (the XLA glue runs these at Precision.HIGHEST for the
+    same reason); an elementwise multiply + lane reduction keeps full f32
+    exactness in-kernel, and at S ~ 50 the FLOPs are negligible against the
+    DMA-bound streaming pass.
+    """
+    return jnp.sum(k0 * v[:, 0][None, :], axis=1, keepdims=True)
+
+
+def _glue_body(s1, mom, nin, target, m0, tmpl, k0, alpha,
+               mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref):
+    """In-kernel Woodbury rank-2 solve (same algebra as ``glue_woodbury``):
+    from the accumulated u = sum xc g and the moments of g, produce the next
+    iteration's (mu_c, target, cit, norm) carry. Runs once per batch entry,
+    at the final pixel tile."""
+    u = s1[:, :] * nin  # (S, 1) E[xc g]
+    gbar = mom[0, 0] * nin
+    beta = mom[1, 0] * nin - gbar * gbar  # Var(g)
+    mu_new = -target * gbar  # E[modx] = -t E[g]
+    target_new = tmpl * (m0 + mu_new)
+    w_t = _k0_matvec(k0, target)
+    w_u = _k0_matvec(k0, u)
+    g00 = jnp.sum(target * w_t)
+    g01 = jnp.sum(target * w_u)
+    g10 = jnp.sum(u * w_t)
+    g11 = jnp.sum(u * w_u)
+    sa = 1.0 - alpha
+    i00 = g00
+    i01 = g01 - 1.0 / sa
+    i10 = g10 - 1.0 / sa
+    i11 = g11 - beta / sa
+    det = i00 * i11 - i01 * i10
+
+    def a0inv(v):  # (S, 1) -> (c0 + sa U M U^T)^{-1} v
+        kv = _k0_matvec(k0, v)
+        y0 = jnp.sum(w_t * v)  # U^T K0 v (k0 symmetric)
+        y1 = jnp.sum(w_u * v)
+        x0 = (i11 * y0 - i01 * y1) / det
+        x1 = (-i10 * y0 + i00 * y1) / det
+        return kv - w_t * x0 - w_u * x1
+
+    z = a0inv(target_new)
+    if alpha:
+        # One Neumann term for the shrinkage-diagonal drift (see glue_woodbury).
+        d = beta * target * target - 2.0 * target * u
+        z = z - a0inv(alpha * d * z)
+    norm_new = jnp.maximum(jnp.sum(target_new * z), 1.0)
+    mu_out_ref[0] = mu_new
+    target_out_ref[0] = target_new
+    cit_out_ref[0] = z
+    norm_out_ref[0, 0, 0] = norm_new
+
+
+def _accumulate(pt, x_c, g, s1, mom):
+    """Accumulate u += xc @ g^T and the scalar moments of g across tiles."""
+    u_tile = jax.lax.dot_general(
+        x_c, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, 1)
+    moments = jnp.concatenate(
+        [jnp.sum(g, axis=1, keepdims=True), jnp.sum(g * g, axis=1, keepdims=True)],
+        axis=0,
+    )  # (2, 1)
+
+    @pl.when(pt == 0)
+    def _():
+        s1[:, :] = jnp.zeros_like(s1)
+        mom[:, :] = jnp.zeros_like(mom)
+
+    s1[:, :] += u_tile
+    mom[:, :] += moments
+
+
+def _first_round_kernel(
+    x_ref, m0c_ref, w_ref, cit0_ref, norm0_ref, m0_ref, tmpl_ref, k0_ref, nin_ref,
+    mf_out_ref, r_out_ref, mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref,
+    s1, mom, *, cov_scale, alpha, npt,
+):
+    """Init round: rmf mf + albedo R computed in-kernel from the streamed
+    cube (replaces the caller-side p2 einsum — one fewer full-cube read),
+    plus the modx statistics of the pass-through iteration and the glue.
+
+    rmf semantics (mag1c.py:284-348): mu = initial mean (so xm = xc), cit =
+    cit0, UNclamped normalizer, no regularizer, R = (x.m0)/(m0.m0) = q/(m0.m0)+1
+    with q over the centered cube; invalid (all-zero) pixels land on R = 1,
+    mf = 0.
+    """
+    pt = pl.program_id(1)
+    xc = x_ref[0].astype(jnp.float32) - m0c_ref[0]  # (S, T) centered
+    w = w_ref[0]  # (1, T)
+    m0 = m0_ref[0]  # (S, 1)
+    tmpl = tmpl_ref[0]
+    k0 = k0_ref[0]
+    nin = nin_ref[0, 0, 0]
+    cit0 = cit0_ref[0]
+    norm0 = norm0_ref[0, 0, 0]
+
+    q = jax.lax.dot_general(
+        m0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (1, T)
+    r = q / jnp.sum(m0 * m0) + 1.0
+    proj = jax.lax.dot_general(
+        cit0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    mf0 = jnp.maximum(proj / (r * norm0), 0.0) * w
+    mf_out_ref[0] = mf0
+    r_out_ref[0] = r
+
+    target0 = tmpl * m0
+    _accumulate(pt, xc, cov_scale * (r * mf0), s1, mom)
+
+    @pl.when(pt == npt - 1)
+    def _():
+        _glue_body(s1, mom, nin, target0, m0, tmpl, k0, alpha,
+                   mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref)
+
+
+def _loop_round_kernel(
+    x_ref, m0c_ref, w_ref, r_ref, mf_ref, mu_ref, target_ref, cit_ref, norm_ref,
+    m0_ref, tmpl_ref, k0_ref, nin_ref,
+    mf_out_ref, mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref,
+    s1, mom, *, cov_scale, alpha, npt,
+):
+    """One reweighting iteration, fully fused: mf update + modx statistics +
+    the Woodbury glue — the whole iteration is this single pallas_call (the
+    XLA-level loop body carries five small arrays and nothing else)."""
+    pt = pl.program_id(1)
+    xc = x_ref[0].astype(jnp.float32) - m0c_ref[0]  # (S, T) centered by m0
+    w = w_ref[0]
+    r = r_ref[0]
+    mf_prev = mf_ref[0]
+    mu = mu_ref[0]  # (S, 1) centered mean of current background
+    target = target_ref[0]
+    cit = cit_ref[0]
+    norm = norm_ref[0, 0, 0]
+    m0 = m0_ref[0]
+    tmpl = tmpl_ref[0]
+    k0 = k0_ref[0]
+    nin = nin_ref[0, 0, 0]
+
+    xm = xc - mu
+    proj = jax.lax.dot_general(
+        cit.T, xm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    regularizer = 1.0 / (r * (mf_prev + EPSILON))
+    mf_new = jnp.maximum((proj - regularizer) / (r * norm), 0.0) * w
+    mf_out_ref[0] = mf_new
+
+    _accumulate(pt, xc, cov_scale * (r * mf_new), s1, mom)
+
+    @pl.when(pt == npt - 1)
+    def _():
+        _glue_body(s1, mom, nin, target, m0, tmpl, k0, alpha,
+                   mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref)
+
+
+def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret):
+    npt = p // tile_p
+    grid = (b, npt)
+    tile = lambda: pl.BlockSpec((1, 1, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM)
+    svec = lambda: pl.BlockSpec((1, s, 1), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM)
+    scal = lambda: pl.BlockSpec((1, 1, 1), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, s, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, s, s), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM)
+    tmpl_spec = pl.BlockSpec((1, s, 1), lambda bb, pt: (0, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((s, 1), jnp.float32),
+        pltpu.VMEM((2, 1), jnp.float32),
+    ]
+    glue_out_specs = [svec(), svec(), svec(), scal()]
+    glue_out_shapes = [
+        jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * b * p * s * 3, bytes_accessed=b * p * s * 4, transcendentals=0
+    )
+
+    first = pl.pallas_call(
+        functools.partial(_first_round_kernel, cov_scale=cov_scale, alpha=alpha, npt=npt),
+        grid=grid,
+        in_specs=[xspec, svec(), tile(), svec(), scal(), svec(), tmpl_spec, kspec, scal()],
+        out_specs=[tile(), tile()] + glue_out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+        ] + glue_out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=cost,
+    )
+    loop = pl.pallas_call(
+        functools.partial(_loop_round_kernel, cov_scale=cov_scale, alpha=alpha, npt=npt),
+        grid=grid,
+        in_specs=[xspec, svec(), tile(), tile(), tile(), svec(), svec(), svec(), scal(),
+                  svec(), tmpl_spec, kspec, scal()],
+        out_specs=[tile()] + glue_out_specs,
+        out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.float32)] + glue_out_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=cost,
+    )
+    return first, loop
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -299,7 +514,7 @@ def acrwl1mf_fused(
     interpret: bool = False,
     stream_dtype=jnp.float32,
     x_layout: str = "bps",
-    glue: str = "woodbury",
+    glue: str = "fused",
 ) -> Tuple[jax.Array, jax.Array]:
     """Pallas-fused albedo-corrected reweighted-L1 matched filter.
 
@@ -322,12 +537,12 @@ def acrwl1mf_fused(
     This is the full-scene serving fast path (see ``mag1c_column_blocks``).
 
     ``glue`` selects how the per-iteration covariance system is solved
-    between streaming passes: ``"woodbury"`` (default) exploits that each
-    iteration's covariance is the initial covariance plus an exact symmetric
-    rank-2 update, solving against the once-inverted base with batched
-    matvecs (see the inline derivation); ``"cholesky"`` refactorizes every
-    iteration exactly like the XLA path. Both are pinned against the f64
-    oracle by tests.
+    between streaming passes: ``"fused"`` (default) runs the Woodbury rank-2
+    solve INSIDE the streaming kernel (VPU-exact f32, once per batch entry at
+    the last pixel tile) so a whole iteration is one pallas_call with zero
+    small-XLA-op launches; ``"woodbury"`` runs the same algebra as XLA glue
+    between passes; ``"cholesky"`` refactorizes every iteration exactly like
+    the XLA path. All are pinned against the f64 oracle by tests.
     """
     x = jnp.asarray(x, jnp.float32)
     template = jnp.asarray(template, jnp.float32)
@@ -364,11 +579,15 @@ def acrwl1mf_fused(
             # read+write of the cube — skip them all. Prefer a tile size that
             # divides P exactly (lane-aligned) so no padding (hence no mask)
             # is ever materialized; fall back to an explicit ones mask.
+            requested_tile_p = tile_p
             tile_p = _dividing_tile(p0, tile_p)
             if tile_p is None:
                 weights = jnp.ones((b, p0), jnp.float32)
                 unweighted = False
-                tile_p = DEFAULT_TILE_P
+                # Keep the caller's tile size (lane-aligned): resetting to
+                # DEFAULT_TILE_P would pad a small non-aligned P (e.g. 130)
+                # up to 63x, inflating every streaming iteration.
+                tile_p = -(-requested_tile_p // 128) * 128
 
         if unweighted:
             w = None
@@ -420,6 +639,43 @@ def acrwl1mf_fused(
     tgt0 = template[None, :] * m0  # (B, S)
     cit0_vec = _cho_solve_vec(c0, tgt0)  # (B, S)
     norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
+
+    if glue == "fused":
+        # Whole-iteration fusion: mf + statistics + Woodbury glue live in ONE
+        # pallas_call (kernels above), so the loop body has no small-XLA-op
+        # launches at all; the init albedo/mf0 matvecs fold into the first
+        # streaming round (one fewer full-cube read than the split path).
+        with jax.default_matmul_precision("highest"):
+            k0 = _cho_inverse(c0)
+        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
+        w_full = jnp.ones((b, p), jnp.float32) if w is None else w
+        first_call, loop_call = _make_round_calls(
+            b, p, s, tile_p, covariance_update_scaling, alpha, interpret
+        )
+        nin = (1.0 / n[:, 0])[:, None, None]  # (B, 1, 1)
+        tmpl_in = template[None, :, None]  # (1, S, 1)
+        m0_in = m0[:, :, None]
+        w_row = w_full[:, None, :]
+        mf, r_row, mu_c, target, cit, norm = first_call(
+            xs, m0_k, w_row, cit0_vec[:, :, None], norm0[:, None, None],
+            m0_in, tmpl_in, k0, nin,
+        )
+
+        def round_body(_, carry):
+            return loop_call(
+                xs, m0_k, w_row, r_row, *carry, m0_in, tmpl_in, k0, nin
+            )
+
+        carry = jax.lax.fori_loop(
+            0, num_iter - 1, round_body, (mf, mu_c, target, cit, norm)
+        )
+        # Final mf-only evaluation applies the last statistics (reference
+        # ordering: stats then mf, num_iter times); glue outputs unused.
+        mf_final = loop_call(xs, m0_k, w_row, r_row, *carry, m0_in, tmpl_in, k0, nin)[0]
+        mf_out = (mf_final[:, 0, :] * SCALING)[:, :p0, None]
+        r_out = r_row[:, 0, :p0, None]
+        return mf_out, r_out
+
     # Both init matvecs in ONE streaming read: rows [cit0; m0] against xc.
     a2 = jnp.stack([cit0_vec, m0], axis=1)  # (B, 2, S)
     p2 = jnp.einsum("bks,bsp->bkp", a2, xc_init, preferred_element_type=jnp.float32)

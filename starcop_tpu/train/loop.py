@@ -318,15 +318,18 @@ class Trainer:
             cms.append(cm_i)
             cms_cls.append(cm_cls_i)
             n += 1
-        total_loss, cm, cm_cls = jax.device_get(
+        # Final reduction on host in int64: the device CMs are int32 and the
+        # TN entry grows with total validation pixels (overflows past ~2.1e9
+        # pixels, ~8200 tiles of 512^2, if summed on device).
+        total_loss, cm_stack, cm_cls_stack = jax.device_get(
             (
                 jnp.sum(jnp.stack(losses)) if losses else jnp.float32(0),
-                sum(cms, jnp.zeros((2, 2), jnp.int32)),
-                sum(cms_cls, jnp.zeros((2, 2), jnp.int32)),
+                jnp.stack(cms) if cms else jnp.zeros((1, 2, 2), jnp.int32),
+                jnp.stack(cms_cls) if cms_cls else jnp.zeros((1, 2, 2), jnp.int32),
             )
         )
-        cm = cm.astype(np.int64)
-        cm_cls = cm_cls.astype(np.int64)
+        cm = np.sum(cm_stack, axis=0, dtype=np.int64)
+        cm_cls = np.sum(cm_cls_stack, axis=0, dtype=np.int64)
         out = {"val_loss": float(total_loss) / max(n, 1)}
         for fun in sm.METRICS_CONFUSION_MATRIX:
             out[f"val_{fun.__name__}"] = float(fun(cm))

@@ -337,16 +337,17 @@ def test_fused_pallas_woodbury_glue_matches_cholesky(synthetic_radiance):
     for weights in (None, jnp.asarray(wmask)):
         kw = dict(num_iter=6, alpha=1e-4, tile_p=256, interpret=True)
         mf_ch, r_ch = acrwl1mf_fused(x, tpl, weights, glue="cholesky", **kw)
-        mf_wb, r_wb = acrwl1mf_fused(x, tpl, weights, glue="woodbury", **kw)
-        a = np.asarray(mf_ch).ravel()
-        bb = np.asarray(mf_wb).ravel()
-        assert np.corrcoef(a, bb)[0, 1] > 0.99999
-        assert ((a > 500) == (bb > 500)).mean() > 0.999
-        det = a > 100
-        if det.any():
-            rel = np.abs(bb - a)[det] / a[det]
-            assert np.median(rel) < 1e-3
-        np.testing.assert_allclose(np.asarray(r_wb), np.asarray(r_ch), rtol=1e-6)
+        for glue in ("woodbury", "fused"):
+            mf_wb, r_wb = acrwl1mf_fused(x, tpl, weights, glue=glue, **kw)
+            a = np.asarray(mf_ch).ravel()
+            bb = np.asarray(mf_wb).ravel()
+            assert np.corrcoef(a, bb)[0, 1] > 0.99999
+            assert ((a > 500) == (bb > 500)).mean() > 0.999
+            det = a > 100
+            if det.any():
+                rel = np.abs(bb - a)[det] / a[det]
+                assert np.median(rel) < 1e-3
+            np.testing.assert_allclose(np.asarray(r_wb), np.asarray(r_ch), rtol=1e-6)
 
 
 def test_column_blocks_no_mask_matches_masked(synthetic_radiance):
@@ -365,3 +366,38 @@ def test_column_blocks_no_mask_matches_masked(synthetic_radiance):
     )
     np.testing.assert_allclose(np.asarray(mf_none), np.asarray(mf_ones), rtol=2e-4, atol=2e-3)
     np.testing.assert_allclose(np.asarray(alb_none), np.asarray(alb_ones), rtol=1e-5)
+
+
+def test_compute_energy_matches_literal_oracle(synthetic_radiance):
+    """The O(P) energy identity (s^T C^{-1} s) must reproduce the oracle's
+    LITERAL (B, P, P) Mahalanobis-product sum, per iteration, and the rmf
+    init energy must carry the reference's batch-wide log-det term."""
+    x, template = synthetic_radiance
+    mf, r, energy = m.acrwl1mf(
+        jnp.asarray(x), jnp.asarray(template), num_iter=5, alpha=1e-4,
+        compute_energy=True,
+    )
+    mf_np, r_np, energy_np = m.reference_oracle_acrwl1mf(
+        x, template, num_iter=5, alpha=1e-4, compute_energy=True
+    )
+    assert energy.shape == (6,)
+    np.testing.assert_allclose(np.asarray(mf), mf_np, rtol=1e-6, atol=1e-4)
+    # Element 0 (rmf init) mixes a residual that is ~0 by centering with the
+    # det term; compare with an absolute tolerance scaled to the det term.
+    np.testing.assert_allclose(
+        np.asarray(energy[0]), energy_np[0], rtol=1e-6, atol=1e-4 * abs(energy_np[0])
+    )
+    np.testing.assert_allclose(np.asarray(energy[1:]), energy_np[1:], rtol=1e-6)
+
+
+def test_rmf_compute_energy_returns_triple(synthetic_radiance):
+    x, template = synthetic_radiance
+    out = m.rmf(jnp.asarray(x), jnp.asarray(template), compute_energy=True)
+    assert len(out) == 3
+    mf, r, energy = out
+    assert energy.shape == ()
+    assert np.isfinite(float(energy))
+    # Scaling must NOT be applied before the energy return (reference
+    # mag1c.py:337-343 returns ahead of the apply_scaling branch).
+    mf_plain, _ = m.rmf(jnp.asarray(x), jnp.asarray(template), apply_scaling=False)
+    np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_plain), rtol=1e-12)
