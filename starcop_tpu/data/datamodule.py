@@ -237,6 +237,7 @@ class DataModule:
         weight_sampling: bool = True,
         num_workers: int = 0,
         seed: int = 42,
+        augment_rotation: str = "continuous",
     ):
         self.train_csv_path = train_csv
         self.train_rows = read_index_csv(train_csv)
@@ -250,6 +251,7 @@ class DataModule:
         self.weight_sampling = weight_sampling
         self.num_workers = num_workers
         self.seed = seed
+        self.augment_rotation = augment_rotation
         self._tiled_train_rows: Optional[List[Dict]] = None
 
     @property
@@ -301,6 +303,7 @@ class DataModule:
             self.output_products,
             self.weight_loss_product,
             augment=augment,
+            augment_rotation=self.augment_rotation,
             seed=self.seed,
         )
 

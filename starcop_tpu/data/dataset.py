@@ -68,6 +68,7 @@ class ChipDataset:
         weight_loss_product: Optional[str] = "weight_mag1c",
         window_size_sample: Optional[Tuple[int, int]] = None,
         augment: bool = False,
+        augment_rotation: str = "continuous",
         extra_products: Sequence[str] = (),
         add_rgb_aviris: bool = False,
         seed: int = 0,
@@ -78,6 +79,7 @@ class ChipDataset:
         self.weight_loss_product = weight_loss_product
         self.window_size_sample = window_size_sample
         self.augment = augment
+        self.augment_rotation = augment_rotation
         self.extra_products = list(extra_products)
         self.add_rgb_aviris = add_rgb_aviris
         # BatchLoader reads samples from a thread pool; numpy Generators are
@@ -141,23 +143,95 @@ class ChipDataset:
                 arrays = {k: v[:, r0 : r0 + th, c0 : c0 + tw] for k, v in arrays.items()}
 
         if self.augment:
-            arrays = joint_augment(arrays, self._rng)
+            arrays = joint_augment(arrays, self._rng, rotation=self.augment_rotation)
 
         sample.update(arrays)
         return sample
 
 
-def joint_augment(arrays: Dict[str, np.ndarray], rng: np.random.Generator) -> Dict[str, np.ndarray]:
+def rotate_chw(arr: np.ndarray, angle_deg: float, order: int = 1) -> np.ndarray:
+    """Rotate a (C, H, W) array by ``angle_deg`` about the image center.
+
+    Matches the cv2/kornia convention the reference's augmentation uses
+    (``K.RandomRotation`` -> ``warp_affine`` with a ``getRotationMatrix2D``
+    matrix): positive angle is a counter-clockwise visual rotation, center at
+    ((W-1)/2, (H-1)/2), same output size, zeros outside the source. ``order``
+    1 is bilinear (image/weight keys), 0 nearest (mask keys). Pinned against
+    ``cv2.warpAffine`` in tests.
+    """
+    _, h, w = arr.shape
+    t = np.deg2rad(angle_deg)
+    ct, st = float(np.cos(t)), float(np.sin(t))
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    dy, dx = np.mgrid[0:h, 0:w]
+    # Inverse map (output pixel -> source coords): rotate by -angle about the
+    # center, in y-down image coordinates.
+    xs = ct * (dx - cx) - st * (dy - cy) + cx
+    ys = st * (dx - cx) + ct * (dy - cy) + cy
+    if order == 0:
+        xi = np.rint(xs).astype(np.intp)
+        yi = np.rint(ys).astype(np.intp)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        res = arr[:, np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)].copy()
+        res[:, ~valid] = 0
+        return res
+    x0 = np.floor(xs).astype(np.intp)
+    y0 = np.floor(ys).astype(np.intp)
+    fx = (xs - x0).astype(np.float32)
+    fy = (ys - y0).astype(np.float32)
+
+    def tap(yy, xx):
+        # Out-of-range taps contribute 0 (cv2 BORDER_CONSTANT, value 0).
+        valid = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        return arr[:, np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)] * valid
+
+    res = (
+        tap(y0, x0) * ((1 - fx) * (1 - fy))
+        + tap(y0, x0 + 1) * (fx * (1 - fy))
+        + tap(y0 + 1, x0) * ((1 - fx) * fy)
+        + tap(y0 + 1, x0 + 1) * (fx * fy)
+    )
+    return res.astype(arr.dtype)
+
+
+#: Sample keys resampled with nearest-neighbor under continuous rotation: the
+#: reference declares the segmentation label a kornia "mask" data key
+#: (datamodule.py:133 ``data_keys=["input", model_output_type]``), which
+#: kornia warps with nearest; inputs and loss weights are "input" keys
+#: (bilinear).
+MASK_KEYS = ("output",)
+
+
+def joint_augment(
+    arrays: Dict[str, np.ndarray],
+    rng: np.random.Generator,
+    rotation: str = "continuous",
+) -> Dict[str, np.ndarray]:
     """Joint geometric augmentation of all (C, H, W) arrays in the sample.
 
-    Reference recipe (datamodule.py:128-134): random 90-degree rotation p=0.5,
-    horizontal flip p=0.5, vertical flip p=0.5 — applied identically to inputs,
-    masks and loss weights.
+    Reference recipe (datamodule.py:128-134): ``K.RandomRotation(p=0.5,
+    degrees=90)`` — a CONTINUOUS angle uniform in [-90, +90] with bilinear
+    resampling for image keys and nearest for the mask — then horizontal flip
+    p=0.5 and vertical flip p=0.5, the same draw applied to every key.
+
+    ``rotation`` selects the rotation family: ``"continuous"`` (the reference
+    recipe, default), ``"rot90"`` (lossless right-angle rot90 — cheaper, no
+    resampling blur, but a narrower augmentation distribution), ``"none"``.
     """
     out = dict(arrays)
-    if rng.uniform() < 0.5:
-        k = int(rng.integers(1, 4))
-        out = {key: np.rot90(v, k, axes=(-2, -1)) for key, v in out.items()}
+    if rotation == "continuous":
+        if rng.uniform() < 0.5:
+            angle = float(rng.uniform(-90.0, 90.0))
+            out = {
+                key: rotate_chw(v, angle, order=0 if key in MASK_KEYS else 1)
+                for key, v in out.items()
+            }
+    elif rotation == "rot90":
+        if rng.uniform() < 0.5:
+            k = int(rng.integers(1, 4))
+            out = {key: np.rot90(v, k, axes=(-2, -1)) for key, v in out.items()}
+    elif rotation != "none":
+        raise ValueError(f"unknown rotation mode {rotation!r}")
     if rng.uniform() < 0.5:
         out = {key: v[..., ::-1] for key, v in out.items()}
     if rng.uniform() < 0.5:

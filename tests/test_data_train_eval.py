@@ -61,9 +61,69 @@ def test_joint_augment_consistency():
     rng = np.random.default_rng(5)
     x = np.arange(2 * 8 * 8, dtype=np.float32).reshape(2, 8, 8)
     arrays = {"input": x, "output": x[:1].copy()}
-    out = joint_augment(arrays, rng)
+    out = joint_augment(arrays, rng, rotation="rot90")
     # Same geometric transform applied to both: channel 0 stays aligned.
     np.testing.assert_array_equal(out["input"][0], out["output"][0])
+
+
+def test_joint_augment_continuous_consistency():
+    """Continuous mode: one shared angle/flip draw across keys; image keys
+    (input, weight_loss) resample identically (bilinear), masks nearest."""
+    x = np.arange(2 * 16 * 16, dtype=np.float32).reshape(2, 16, 16)
+    mask = (x[:1] % 7 < 3).astype(np.float32)
+    rotated = False
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        out = joint_augment(
+            {"input": x, "weight_loss": x[:1].copy(), "output": mask.copy()}, rng
+        )
+        np.testing.assert_array_equal(out["input"][0], out["weight_loss"][0])
+        # Mask keys stay binary (nearest resampling, no interpolated values).
+        assert set(np.unique(out["output"])) <= {0.0, 1.0}
+        # Interpolated (non-grid) values prove a continuous (non-rot90) angle.
+        if not set(np.unique(out["input"])) <= set(x.ravel()) | {0.0}:
+            rotated = True
+    assert rotated
+
+
+def test_rotate_chw_matches_cv2():
+    """Pin the continuous-rotation resampler against cv2.warpAffine (the
+    reference's kornia RandomRotation shares cv2's getRotationMatrix2D
+    convention: positive angle = counter-clockwise, center (W-1)/2,(H-1)/2,
+    zeros border)."""
+    import cv2
+
+    from starcop_tpu.data.dataset import rotate_chw
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 10, size=(2, 33, 47)).astype(np.float32)
+    h, w = img.shape[1:]
+    for angle in (-90.0, -37.3, 0.0, 12.5, 45.0, 88.8):
+        m = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), angle, 1.0)
+        ours = rotate_chw(img, angle, order=1)
+        ref = np.stack(
+            [
+                cv2.warpAffine(
+                    c, m, (w, h), flags=cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
+                )
+                for c in img
+            ]
+        )
+        # cv2 INTER_LINEAR quantizes interpolation weights to 5 fractional
+        # bits; tolerance covers that, not a convention mismatch.
+        np.testing.assert_allclose(ours, ref, atol=0.35)
+        assert np.mean(np.abs(ours - ref)) < 0.02
+
+        binary = (img[:1] > 5).astype(np.float32)
+        ours_n = rotate_chw(binary, angle, order=0)
+        ref_n = cv2.warpAffine(
+            binary[0], m, (w, h), flags=cv2.INTER_NEAREST,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0.0,
+        )
+        # Nearest tie-breaking at exact .5 source coordinates may differ;
+        # demand pixel agreement everywhere else.
+        assert np.mean(ours_n[0] == ref_n) > 0.99
 
 
 def test_create_windows_overlap():
