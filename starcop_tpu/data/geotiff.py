@@ -9,6 +9,8 @@ ships its own minimal GeoTIFF codec (struct + zlib + numpy):
 
   * tiled layout (default 128, matching the reference chip profile), optional
     DEFLATE compression, 2x-decimated overview IFDs (the COG essentials);
+  * BigTIFF (version 43, 64-bit offsets) — automatic past classic TIFF's
+    4 GB offset ceiling (GDAL ``BIGTIFF=IF_SAFER``), forceable, readable;
   * geotransform via ModelPixelScale+ModelTiepoint (north-up) or
     ModelTransformation (rotated grids);
   * CRS via a GeoKeyDirectory EPSG code;
@@ -63,8 +65,13 @@ _GDAL_NODATA = 42113
 
 # TIFF field types
 _T_ASCII, _T_SHORT, _T_LONG, _T_DOUBLE = 2, 3, 4, 12
-_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
-_TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+_T_LONG8 = 16  # BigTIFF 64-bit unsigned
+_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
+_TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
+
+# Classic TIFF's 32-bit offset ceiling; module-level so tests can lower it to
+# exercise the BigTIFF switch without writing real 4 GB files.
+_CLASSIC_MAX_OFFSET = 0xFFFFFFFF
 
 _DTYPE_TO_TIFF = {
     np.dtype(np.uint8): (1, 8),
@@ -194,12 +201,18 @@ def write_geotiff(
     tile_size: int = 128,
     compress: bool = True,
     overviews: bool = True,
+    bigtiff="auto",
 ) -> str:
     """Write a (H, W) or (C, H, W) array as a tiled (COG-style) GeoTIFF.
 
     Matches the reference chip profile (BLOCKSIZE 128 —
     sampling_dataset.py:358-394) by default; adds 2x overview IFDs while the
     raster stays larger than one tile.
+
+    ``bigtiff``: ``"auto"`` (default) writes classic TIFF and switches to
+    BigTIFF (version 43, 64-bit offsets) when the laid-out file would exceed
+    classic TIFF's 4 GB offset ceiling — GDAL's ``BIGTIFF=IF_SAFER`` behavior;
+    ``True`` forces BigTIFF; ``False`` raises past 4 GB.
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -208,15 +221,16 @@ def write_geotiff(
         raise ValueError(f"Expected (H, W) or (C, H, W), got {array.shape}")
     if arr.dtype not in _DTYPE_TO_TIFF:
         arr = arr.astype(np.float32)
-    # Classic TIFF offsets are 32-bit; refuse early on data that cannot fit
-    # even before compression is attempted (compressed output is checked
-    # again at layout time).
-    if not compress and arr.nbytes * (4 / 3) > 0xFFFFFFFF:
-        raise ValueError(
-            f"Raster of {arr.nbytes / 1e9:.1f} GB exceeds classic TIFF's "
-            "32-bit offsets. Split the raster (e.g. per-band files via "
-            "save_scene_bands) or enable compression."
-        )
+    # Uncompressed data that cannot fit 32-bit offsets is known before any
+    # tiling work: refuse early (bigtiff=False) or go straight to BigTIFF.
+    if not compress and arr.nbytes * (4 / 3) > _CLASSIC_MAX_OFFSET:
+        if bigtiff is False:
+            raise ValueError(
+                f"Raster of {arr.nbytes / 1e9:.1f} GB exceeds classic TIFF's "
+                "32-bit offsets. Pass bigtiff='auto'/True, or split the "
+                "raster (e.g. per-band files via save_scene_bands)."
+            )
+        bigtiff = True
     meta = GeoMeta(
         transform=transform,
         crs_epsg=crs_epsg,
@@ -236,47 +250,78 @@ def write_geotiff(
     for lvl, data in enumerate(levels):
         ifds.append(_build_ifd(data, meta if lvl == 0 else None, tile_size, compress, lvl > 0))
 
-    # Layout: header | IFD0 + ext | IFD1 + ext | ... | tile data.
-    header = struct.pack("<2sHI", b"II", 42, 8)
-    cursor = 8
-    ifd_positions = []
-    for entries, _tiles in ifds:
-        ifd_positions.append(cursor)
-        n = len(entries)
-        ifd_size = 2 + 12 * n + 4
-        ext_size = sum(_padded_len(_value_len(t, v)) for _tag, t, v in entries if _value_len(t, v) > 4)
-        cursor += ifd_size + ext_size
-    tile_cursor = cursor
+    # Layout: header | IFD0 + ext | IFD1 + ext | ... | tile data. Classic and
+    # BigTIFF share the layout; only the header/entry/offset widths differ.
+    big = bigtiff is True
+    while True:
+        header_size = 16 if big else 8
+        inline = 8 if big else 4
+        typed_ifds = [(_retype_offsets(entries, big), tiles) for entries, tiles in ifds]
+        cursor = header_size
+        ifd_positions = []
+        for entries, _tiles in typed_ifds:
+            ifd_positions.append(cursor)
+            n = len(entries)
+            ifd_size = (8 + 20 * n + 8) if big else (2 + 12 * n + 4)
+            ext_size = sum(
+                _padded_len(_value_len(t, v))
+                for _tag, t, v in entries
+                if _value_len(t, v) > inline
+            )
+            cursor += ifd_size + ext_size
+        tile_cursor = cursor
 
-    # Assign tile offsets per IFD.
-    blobs: List[bytes] = []
-    tile_offsets_per_ifd = []
-    for _entries, tiles in ifds:
-        offs = []
-        for blob in tiles:
-            offs.append(tile_cursor)
-            blobs.append(blob)
-            tile_cursor += _padded_len(len(blob))
-        tile_offsets_per_ifd.append(offs)
+        # Assign tile offsets per IFD.
+        blobs: List[bytes] = []
+        tile_offsets_per_ifd = []
+        for _entries, tiles in typed_ifds:
+            offs = []
+            for blob in tiles:
+                offs.append(tile_cursor)
+                blobs.append(blob)
+                tile_cursor += _padded_len(len(blob))
+            tile_offsets_per_ifd.append(offs)
 
-    if tile_cursor > 0xFFFFFFFF:
-        raise ValueError(
-            f"Raster would produce a {tile_cursor / 1e9:.1f} GB file; classic "
-            "TIFF offsets are 32-bit. Split the raster (e.g. per-band files "
-            "via save_scene_bands) or store uncompressed bands separately."
-        )
+        if not big and tile_cursor > _CLASSIC_MAX_OFFSET:
+            if bigtiff == "auto":
+                big = True
+                continue
+            raise ValueError(
+                f"Raster would produce a {tile_cursor / 1e9:.1f} GB file; "
+                "classic TIFF offsets are 32-bit. Pass bigtiff='auto'/True, "
+                "or split the raster (e.g. per-band files via save_scene_bands)."
+            )
+        break
+
+    if big:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
     out = bytearray(header)
-    for i, (entries, tiles) in enumerate(ifds):
+    for i, (entries, tiles) in enumerate(typed_ifds):
         entries = _finalize_entries(entries, tile_offsets_per_ifd[i], [len(b) for b in tiles])
-        next_ifd = ifd_positions[i + 1] if i + 1 < len(ifds) else 0
-        out += _serialize_ifd(entries, ifd_positions[i], next_ifd)
-    for blob in blobs:
-        out += blob
-        out += b"\x00" * (_padded_len(len(blob)) - len(blob))
-
+        next_ifd = ifd_positions[i + 1] if i + 1 < len(typed_ifds) else 0
+        out += _serialize_ifd(entries, ifd_positions[i], next_ifd, big)
     with open(path, "wb") as fh:
+        # Tile payloads stream straight to disk: a >4 GB raster must never be
+        # double-buffered through one contiguous Python bytes object.
         fh.write(bytes(out))
+        for blob in blobs:
+            fh.write(blob)
+            pad = _padded_len(len(blob)) - len(blob)
+            if pad:
+                fh.write(b"\x00" * pad)
     return path
+
+
+def _retype_offsets(entries, big: bool):
+    """BigTIFF stores tile offsets as LONG8 (64-bit); classic as LONG."""
+    if not big:
+        return entries
+    return [
+        (tag, _T_LONG8 if tag == _TILE_OFFSETS else ttype, values)
+        for tag, ttype, values in entries
+    ]
 
 
 def _value_len(ttype: int, values) -> int:
@@ -345,22 +390,25 @@ def _finalize_entries(entries, tile_offsets, tile_counts):
     return done
 
 
-def _serialize_ifd(entries, ifd_offset: int, next_ifd_offset: int) -> bytes:
+def _serialize_ifd(entries, ifd_offset: int, next_ifd_offset: int, big: bool = False) -> bytes:
     n = len(entries)
-    ext_offset = ifd_offset + 2 + 12 * n + 4
-    body = struct.pack("<H", n)
+    inline = 8 if big else 4
+    ext_offset = ifd_offset + ((8 + 20 * n + 8) if big else (2 + 12 * n + 4))
+    body = struct.pack("<Q", n) if big else struct.pack("<H", n)
+    off_fmt = "<Q" if big else "<I"
+    entry_head = "<HHQ" if big else "<HHI"
     ext = bytearray()
     for tag, ttype, values in entries:
         packed = _pack_values(ttype, values)
         count = len(values)
-        if len(packed) <= 4:
-            value_field = packed + b"\x00" * (4 - len(packed))
+        if len(packed) <= inline:
+            value_field = packed + b"\x00" * (inline - len(packed))
         else:
-            value_field = struct.pack("<I", ext_offset + len(ext))
+            value_field = struct.pack(off_fmt, ext_offset + len(ext))
             ext += packed
             ext += b"\x00" * (_padded_len(len(packed)) - len(packed))
-        body += struct.pack("<HHI", tag, ttype, count) + value_field
-    body += struct.pack("<I", next_ifd_offset)
+        body += struct.pack(entry_head, tag, ttype, count) + value_field
+    body += struct.pack(off_fmt, next_ifd_offset)
     return body + bytes(ext)
 
 
@@ -386,9 +434,16 @@ class GeoTIFFReader:
         self.path = path
         self._fh = open(path, "rb")
         self._buf = self._fh.read(self._HEAD)
-        order, magic, first_ifd = struct.unpack_from("<2sHI", self._buf, 0)
-        if order != b"II" or magic != 42:
-            raise ValueError(f"Not a little-endian classic TIFF: {path}")
+        order, magic = struct.unpack_from("<2sH", self._buf, 0)
+        if order != b"II" or magic not in (42, 43):
+            raise ValueError(f"Not a little-endian TIFF/BigTIFF: {path}")
+        self._big = magic == 43
+        if self._big:
+            offsize, zero, first_ifd = struct.unpack_from("<HHQ", self._buf, 4)
+            if offsize != 8 or zero != 0:
+                raise ValueError(f"Unsupported BigTIFF offset size {offsize}: {path}")
+        else:
+            (first_ifd,) = struct.unpack_from("<I", self._buf, 4)
         if first_ifd + 4 > len(self._buf):
             # IFDs at the end of the file (some external writers): read all.
             self._fh.seek(0)
@@ -428,25 +483,33 @@ class GeoTIFFReader:
             pass
 
     def _parse_ifd(self, off: int):
-        entries = self._bytes(off, 2 + 12 * 4096 + 4)  # generous upper bound
-        (n,) = struct.unpack_from("<H", entries, 0)
+        big = self._big
+        head, entry, inline = (8, 20, 8) if big else (2, 12, 4)
+        entries = self._bytes(off, head + entry * 4096 + inline)  # generous upper bound
+        if big:
+            (n,) = struct.unpack_from("<Q", entries, 0)
+        else:
+            (n,) = struct.unpack_from("<H", entries, 0)
+        n = int(n)
         ifd: Dict[int, Tuple[int, list]] = {}
         for i in range(n):
-            tag, ttype, count = struct.unpack_from("<HHI", entries, 2 + 12 * i)
+            base = head + entry * i
+            tag, ttype, count = struct.unpack_from("<HHQ" if big else "<HHI", entries, base)
             if ttype not in _TYPE_SIZE:
                 continue
-            size = count * _TYPE_SIZE[ttype]
-            if size > 4:
-                (value_off,) = struct.unpack_from("<I", entries, 2 + 12 * i + 8)
+            size = int(count) * _TYPE_SIZE[ttype]
+            vpos = base + (12 if big else 8)
+            if size > inline:
+                (value_off,) = struct.unpack_from("<Q" if big else "<I", entries, vpos)
                 raw = self._bytes(value_off, size)
             else:
-                raw = entries[2 + 12 * i + 8 : 2 + 12 * i + 8 + size]
+                raw = entries[vpos : vpos + size]
             if ttype == _T_ASCII:
                 values = [raw]
             else:
                 values = list(struct.unpack_from(f"<{count}{_TYPE_FMT[ttype]}", raw, 0))
             ifd[tag] = (ttype, values)
-        (next_off,) = struct.unpack_from("<I", entries, 2 + 12 * n)
+        (next_off,) = struct.unpack_from("<Q" if big else "<I", entries, head + entry * n)
         return ifd, next_off
 
     @staticmethod

@@ -203,7 +203,7 @@ def test_classic_tiff_4gb_guard(tmp_path):
     # trick to avoid allocating it: np.broadcast_to keeps it virtual.
     big = np.broadcast_to(np.zeros((1, 1), np.float32), (40000, 40000))
     with pytest.raises(ValueError, match="32-bit"):
-        write_geotiff(str(tmp_path / "big.tif"), big, compress=False)
+        write_geotiff(str(tmp_path / "big.tif"), big, compress=False, bigtiff=False)
 
 
 def test_negative_and_overhanging_windows_zero_pad(tmp_path, rng):
@@ -283,3 +283,85 @@ def test_chunky_tiled_multiband_read(tmp_path, rng):
     win = read_geotiff(path, band=1, window=(10, 60, 20, 15))[0]
     np.testing.assert_array_equal(win[:10], arr[1, 60:70, 10:30])
     assert (win[10:] == 0).all()  # overhang zero-padded
+
+
+def test_bigtiff_forced_roundtrip(tmp_path, rng):
+    """bigtiff=True emits a version-43 file (64-bit offsets) that roundtrips
+    data, geo metadata, overviews and windowed reads identically."""
+    arr = rng.uniform(0, 100, size=(3, 300, 280)).astype(np.float32)
+    path = str(tmp_path / "big.tif")
+    write_geotiff(
+        path, arr, transform=T_UTM, crs_epsg=32613, nodata=-1.0,
+        descriptions=["a", "b", "c"], bigtiff=True,
+    )
+    import struct
+
+    with open(path, "rb") as fh:
+        order, magic, offsize, zero, first_ifd = struct.unpack("<2sHHHQ", fh.read(16))
+    assert (order, magic, offsize, zero, first_ifd) == (b"II", 43, 8, 0, 16)
+    r = GeoTIFFReader(path)
+    assert r._big and r.overview_count >= 1
+    np.testing.assert_array_equal(r.read(), arr)
+    np.testing.assert_array_equal(
+        r.read(band=1, window=(13, 40, 100, 90)), arr[1, 40:130, 13:113]
+    )
+    assert r.meta.crs_epsg == 32613
+    assert r.meta.descriptions == ["a", "b", "c"]
+    assert np.allclose(r.meta.transform, T_UTM)
+    r.close()
+
+
+def test_bigtiff_auto_switch(tmp_path, rng, monkeypatch):
+    """bigtiff='auto' (the default) switches to BigTIFF exactly when the laid-
+    out file would overflow classic offsets (ceiling lowered for the test)."""
+    from starcop_tpu.data import geotiff as gt
+
+    arr = rng.uniform(size=(64, 64)).astype(np.float32)
+    small = str(tmp_path / "small.tif")
+    write_geotiff(small, arr)
+    with open(small, "rb") as fh:
+        assert fh.read(4)[2:] == b"\x2a\x00"  # classic magic 42 below the ceiling
+
+    monkeypatch.setattr(gt, "_CLASSIC_MAX_OFFSET", 4096)
+    auto = str(tmp_path / "auto.tif")
+    gt.write_geotiff(auto, arr)
+    with open(auto, "rb") as fh:
+        assert fh.read(4)[2:] == b"\x2b\x00"  # BigTIFF magic 43 past the ceiling
+    back, _ = read_geotiff(auto)
+    np.testing.assert_array_equal(back[0], arr)
+    with pytest.raises(ValueError, match="32-bit"):
+        gt.write_geotiff(str(tmp_path / "refuse.tif"), arr, bigtiff=False)
+
+
+def test_bigtiff_tile_beyond_4gb_sparse(tmp_path, rng):
+    """A tile placed past the 4 GB boundary (sparse file — no real 4 GB of
+    data) must read back exactly: true 64-bit offset handling end to end."""
+    import struct
+
+    from starcop_tpu.data import geotiff as gt
+
+    ts = 16
+    arr = rng.uniform(0, 1, size=(ts, ts)).astype(np.float32)
+    far = 5 * 1024**3  # 5 GB, > any 32-bit offset
+    entries = [
+        (gt._IMAGE_WIDTH, gt._T_LONG, (ts,)),
+        (gt._IMAGE_LENGTH, gt._T_LONG, (ts,)),
+        (gt._BITS_PER_SAMPLE, gt._T_SHORT, (32,)),
+        (gt._COMPRESSION, gt._T_SHORT, (1,)),
+        (gt._PHOTOMETRIC, gt._T_SHORT, (1,)),
+        (gt._SAMPLES_PER_PIXEL, gt._T_SHORT, (1,)),
+        (gt._PLANAR_CONFIG, gt._T_SHORT, (1,)),
+        (gt._TILE_WIDTH, gt._T_SHORT, (ts,)),
+        (gt._TILE_LENGTH, gt._T_SHORT, (ts,)),
+        (gt._TILE_OFFSETS, gt._T_LONG8, (far,)),
+        (gt._TILE_BYTE_COUNTS, gt._T_LONG, (arr.nbytes,)),
+        (gt._SAMPLE_FORMAT, gt._T_SHORT, (3,)),
+    ]
+    path = str(tmp_path / "sparse.tif")
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16))
+        fh.write(gt._serialize_ifd(entries, 16, 0, True))
+        fh.seek(far)
+        fh.write(arr.tobytes())
+    back, _ = read_geotiff(path)
+    np.testing.assert_array_equal(back[0], arr)
