@@ -3,12 +3,14 @@
 Prints ONE JSON line:
   {"metric": "emit_full_scene_mag1c_latency", "value": <seconds>,
    "unit": "s", "vs_baseline": <speedup over the CPU float64 reference>,
-   "extras": {eval_tiles_per_sec, train_steps_per_sec,
-              unet_scene_forward_ms, emit_granule_to_mask_ms}}
+   "extras": {eval_tiles_per_sec[_b32], emit_granule_to_mask_ms,
+              train_steps_per_sec[_bf16], full_scene_mag1c_bf16_ms,
+              serve_scenes_per_sec, serve_mpx_per_sec, unet_scene_forward_ms}}
 
-The extras are BASELINE.md's own target metrics (eval tiles/sec, raw
-granule->mask latency, train steps/s), measured by benchmarks/harness.py on
-the same chip in the same process.
+The extras are BASELINE.md's target metrics plus the repo's best configs
+(bf16 streaming / bf16 training) and the serving pipeline's steady-state
+throughput, measured by benchmarks/harness.py on the same chip in the same
+process.
 
 The headline target (BASELINE.md): >= 10x the CPU reference's full-scene EMIT
 matched-filter throughput. The scene is a synthetic EMIT-granule-sized cube
