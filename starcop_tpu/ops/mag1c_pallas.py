@@ -333,7 +333,8 @@ def _glue_body(s1, mom, nin, target, m0, tmpl, k0, alpha,
     mu_out_ref[0] = mu_new
     target_out_ref[0] = target_new
     cit_out_ref[0] = z
-    norm_out_ref[0, 0, 0] = norm_new
+    # Mosaic cannot store scalars to VMEM: write as a (1, 1) block.
+    norm_out_ref[0] = jnp.reshape(norm_new, (1, 1))
 
 
 def _accumulate(pt, x_c, g, s1, mom):
