@@ -439,6 +439,238 @@ def _loop_round_kernel(
                    mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref)
 
 
+# ---------------------------------------------------------------------------
+# Streaming-round filter: per-iteration pallas_call with grid (B,) and
+# hand-rolled double-buffered chunk DMA (glue="mono", the serving default)
+# ---------------------------------------------------------------------------
+#
+# Why: measured on v5e, every per-grid-step buffer stream costs ~0.3-0.5 us
+# of DMA-setup latency that the auto-pipeliner does not hide. The tile-grid
+# kernels above pay it for 5+ row buffers x (B * P/tile) ~ 230 steps per
+# iteration — ~10 ms of pure overhead across 31 iterations on a 13 ms-of-DMA
+# problem. These kernels collapse the grid to (B,) = 23 steps per iteration:
+# the radiance streams through a manual two-slot DMA pipeline (chunked along
+# pixels), mf/carry/constants ride whole-block buffers fetched once per
+# step, the albedo R is recomputed from the streamed cube instead of being
+# fetched (compute is free under DMA), and the weight row is dropped
+# entirely — masked pixels carry xc = 0, which forces mf = 0 through every
+# iteration (proj = 0 at init; the 1/(R(mf+eps)) regularizer pins it
+# afterwards), so no mask multiply is needed in-kernel.
+#
+# (A whole-filter monolith with grid (iters, B) and aliased carries measures
+# identically on hardware — per-call boundaries are free — but interpret
+# mode does not thread aliased writebacks across grid steps, so the
+# per-iteration structure is kept: it is CPU-testable and loses nothing.)
+
+
+def _mono_stream(x_any, bb, ch, nchunks, xbuf, sems, per_chunk):
+    """Run ``per_chunk(c, xc_chunk, acc)`` over double-buffered chunks of
+    ``x_any[bb]``; returns the folded accumulator."""
+
+    def dma(slot, c):
+        return pltpu.make_async_copy(
+            x_any.at[bb, :, pl.ds(c * ch, ch)], xbuf.at[slot], sems.at[slot]
+        )
+
+    dma(0, 0).start()
+
+    def chunk_body(c, acc):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+        dma(slot, c).wait()
+        return per_chunk(c, xbuf[slot], acc)
+
+    s = xbuf.shape[1]
+    return jax.lax.fori_loop(
+        0, nchunks, chunk_body,
+        (jnp.zeros((s, 1), jnp.float32), jnp.float32(0), jnp.float32(0)),
+    )
+
+
+def _mono_glue(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha, carry_out_ref):
+    """In-kernel Woodbury glue (same algebra as _glue_body), writing the next
+    iteration's packed carry block [mu | target | cit | norm]."""
+    s = target.shape[0]
+    u = s1 * nin
+    gbar = mom0 * nin
+    beta = mom1 * nin - gbar * gbar
+    mu_new = -target * gbar
+    target_new = tmpl * (m0 + mu_new)
+    w_t = _k0_matvec(k0, target)
+    w_u = _k0_matvec(k0, u)
+    g00 = jnp.sum(target * w_t)
+    g01 = jnp.sum(target * w_u)
+    g10 = jnp.sum(u * w_t)
+    g11 = jnp.sum(u * w_u)
+    sa = 1.0 - alpha
+    i00 = g00
+    i01 = g01 - 1.0 / sa
+    i10 = g10 - 1.0 / sa
+    i11 = g11 - beta / sa
+    det = i00 * i11 - i01 * i10
+
+    def a0inv(v):
+        kv = _k0_matvec(k0, v)
+        y0 = jnp.sum(w_t * v)
+        y1 = jnp.sum(w_u * v)
+        x0 = (i11 * y0 - i01 * y1) / det
+        x1 = (-i10 * y0 + i00 * y1) / det
+        return kv - w_t * x0 - w_u * x1
+
+    z = a0inv(target_new)
+    if alpha:
+        d = beta * target * target - 2.0 * target * u
+        z = z - a0inv(alpha * d * z)
+    norm_new = jnp.maximum(jnp.sum(target_new * z), 1.0)
+    carry_out_ref[0] = jnp.concatenate(
+        [mu_new, target_new, z, jnp.full((s, 1), norm_new, jnp.float32)], axis=1
+    )
+
+
+def _mono_first_kernel(
+    x_any, carry_ref, const_ref, tmpl_ref,
+    mf_out_ref, r_out_ref, carry_out_ref,
+    xbuf, sems,
+    *, s, ch, nchunks, cov_scale, alpha, centered,
+):
+    """Init round: rmf mf + albedo R from the streamed cube (mu = 0, cit =
+    cit0, UNclamped norm0, no regularizer), plus the pass-through iteration's
+    modx statistics and the glue."""
+    bb = pl.program_id(0)
+    k0 = const_ref[0, :, :s]
+    m0 = const_ref[0, :, s:s + 1]
+    nin = const_ref[0, 0, s + 1]
+    tmpl = tmpl_ref[0]
+    target0 = carry_ref[0, :, 1:2]
+    cit0 = carry_ref[0, :, 2:3]
+    norm0 = carry_ref[0, 0, 3]
+    m0n = jnp.sum(m0 * m0)
+
+    def per_chunk(c, xr, acc):
+        s1, mom0, mom1 = acc
+        xc = xr.astype(jnp.float32)
+        if not centered:
+            xc = xc - m0
+        q = jax.lax.dot_general(
+            m0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        r = q / m0n + 1.0
+        proj = jax.lax.dot_general(
+            cit0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        mf0 = jnp.maximum(proj / (r * norm0), 0.0)
+        mf_out_ref[0, :, pl.ds(c * ch, ch)] = mf0
+        r_out_ref[0, :, pl.ds(c * ch, ch)] = r
+        g = cov_scale * (r * mf0)
+        u_c = jax.lax.dot_general(
+            xc, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return (s1 + u_c, mom0 + jnp.sum(g), mom1 + jnp.sum(g * g))
+
+    s1, mom0, mom1 = _mono_stream(x_any, bb, ch, nchunks, xbuf, sems, per_chunk)
+    _mono_glue(s1, mom0, mom1, nin, target0, m0, tmpl, k0, alpha, carry_out_ref)
+
+
+def _mono_loop_kernel(
+    x_any, mf_ref, carry_ref, const_ref, tmpl_ref,
+    mf_out_ref, carry_out_ref,
+    xbuf, sems,
+    *, s, ch, nchunks, cov_scale, alpha, centered,
+):
+    """One reweighting iteration: mf update + statistics + glue, with the
+    radiance manually chunk-streamed and R recomputed from it."""
+    bb = pl.program_id(0)
+    k0 = const_ref[0, :, :s]
+    m0 = const_ref[0, :, s:s + 1]
+    nin = const_ref[0, 0, s + 1]
+    tmpl = tmpl_ref[0]
+    mu = carry_ref[0, :, 0:1]
+    target = carry_ref[0, :, 1:2]
+    cit = carry_ref[0, :, 2:3]
+    norm = carry_ref[0, 0, 3]
+    m0n = jnp.sum(m0 * m0)
+    # proj = cit^T (xc - mu) = cit^T xc - cit^T mu: the mean shift is a
+    # scalar, so xm is never materialized.
+    cit_mu = jnp.sum(cit * mu)
+
+    def per_chunk(c, xr, acc):
+        s1, mom0, mom1 = acc
+        xc = xr.astype(jnp.float32)
+        if not centered:
+            xc = xc - m0
+        q = jax.lax.dot_general(
+            m0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        r = q / m0n + 1.0
+        proj = jax.lax.dot_general(
+            cit.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) - cit_mu
+        mf_prev = mf_ref[0, :, pl.ds(c * ch, ch)]
+        regularizer = 1.0 / (r * (mf_prev + EPSILON))
+        mf_new = jnp.maximum((proj - regularizer) / (r * norm), 0.0)
+        mf_out_ref[0, :, pl.ds(c * ch, ch)] = mf_new
+        g = cov_scale * (r * mf_new)
+        u_c = jax.lax.dot_general(
+            xc, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return (s1 + u_c, mom0 + jnp.sum(g), mom1 + jnp.sum(g * g))
+
+    s1, mom0, mom1 = _mono_stream(x_any, bb, ch, nchunks, xbuf, sems, per_chunk)
+    _mono_glue(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha, carry_out_ref)
+
+
+def _make_mono_calls(b, p, s, ch, cov_scale, alpha, centered, interpret,
+                     stream_dtype):
+    nchunks = p // ch
+    kw = dict(s=s, ch=ch, nchunks=nchunks, cov_scale=cov_scale, alpha=alpha,
+              centered=centered)
+    row = lambda: pl.BlockSpec((1, 1, p), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    carry_spec = lambda: pl.BlockSpec((1, s, 4), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, s, s + 2), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    tmpl_spec = pl.BlockSpec((1, s, 1), lambda bb: (0, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((2, s, ch), stream_dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * b * p * s * 3,
+        bytes_accessed=b * p * s * (2 if stream_dtype == jnp.bfloat16 else 4),
+        transcendentals=0,
+    )
+    first = pl.pallas_call(
+        functools.partial(_mono_first_kernel, **kw),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), carry_spec(), const_spec, tmpl_spec],
+        out_specs=[row(), row(), carry_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, 4), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=cost,
+    )
+    loop = pl.pallas_call(
+        functools.partial(_mono_loop_kernel, **kw),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), row(), carry_spec(), const_spec, tmpl_spec],
+        out_specs=[row(), carry_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, 4), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        cost_estimate=cost,
+    )
+    return first, loop
+
+
 def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret):
     npt = p // tile_p
     grid = (b, npt)
@@ -640,6 +872,43 @@ def acrwl1mf_fused(
     tgt0 = template[None, :] * m0  # (B, S)
     cit0_vec = _cho_solve_vec(c0, tgt0)  # (B, S)
     norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
+
+    if glue == "mono":
+        # Whole-FILTER fusion: one pallas_call, grid (num_iter + 1, B),
+        # manual double-buffered chunk DMA (see _mono_kernel's rationale).
+        ch = _dividing_tile(p, min(tile_p, 13824))
+        if ch is None:
+            raise ValueError("glue='mono' requires P with a 128-aligned divisor")
+        with jax.default_matmul_precision("highest"):
+            k0 = _cho_inverse(c0)
+        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))
+        nin_col = jnp.zeros((b, s, 1), jnp.float32).at[:, 0, 0].set(1.0 / n[:, 0])
+        const = jnp.concatenate([k0, m0[:, :, None], nin_col], axis=2)
+        carry0 = jnp.concatenate(
+            [
+                jnp.zeros((b, s, 1), jnp.float32),  # mu (centered)
+                tgt0[:, :, None],  # target
+                cit0_vec[:, :, None],  # cit
+                jnp.broadcast_to(norm0[:, None, None], (b, s, 1)),  # norm (unclamped init)
+            ],
+            axis=2,
+        )
+        centered = not (x_layout == "bsp" and stream_dtype == jnp.float32)
+        first_call, loop_call = _make_mono_calls(
+            b, p, s, ch, covariance_update_scaling, alpha,
+            centered, interpret, stream_dtype,
+        )
+        tmpl_in = template[None, :, None]
+        mf, r_row, carry = first_call(xs, carry0, const, tmpl_in)
+
+        def round_body(_, st):
+            return loop_call(xs, st[0], st[1], const, tmpl_in)
+
+        mf, carry = jax.lax.fori_loop(0, num_iter - 1, round_body, (mf, carry))
+        mf_final = loop_call(xs, mf, carry, const, tmpl_in)[0]
+        # Masked/padded pixels carry xc = 0, so mf = 0 and R = 1 there by
+        # construction (no mask multiply needed — see the kernels' rationale).
+        return (mf_final[:, 0, :p0, None] * SCALING), r_row[:, 0, :p0, None]
 
     if glue == "fused":
         # Whole-iteration fusion: mf + statistics + Woodbury glue live in ONE

@@ -337,7 +337,7 @@ def test_fused_pallas_woodbury_glue_matches_cholesky(synthetic_radiance):
     for weights in (None, jnp.asarray(wmask)):
         kw = dict(num_iter=6, alpha=1e-4, tile_p=256, interpret=True)
         mf_ch, r_ch = acrwl1mf_fused(x, tpl, weights, glue="cholesky", **kw)
-        for glue in ("woodbury", "fused"):
+        for glue in ("woodbury", "fused", "mono"):
             mf_wb, r_wb = acrwl1mf_fused(x, tpl, weights, glue=glue, **kw)
             a = np.asarray(mf_ch).ravel()
             bb = np.asarray(mf_wb).ravel()
