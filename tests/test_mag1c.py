@@ -401,3 +401,33 @@ def test_rmf_compute_energy_returns_triple(synthetic_radiance):
     # mag1c.py:337-343 returns ahead of the apply_scaling branch).
     mf_plain, _ = m.rmf(jnp.asarray(x), jnp.asarray(template), apply_scaling=False)
     np.testing.assert_allclose(np.asarray(mf), np.asarray(mf_plain), rtol=1e-12)
+
+
+def test_mono_bf16_and_bsp_variants(synthetic_radiance):
+    """glue='mono' across its serving configurations: raw-bsp f32 (in-kernel
+    centering), pre-centered bf16 stream, and the (B, P, S) layout — all
+    detection-equivalent to the f32 cholesky-glue reference."""
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x64, template = synthetic_radiance
+    x = jnp.asarray(x64.astype(np.float32))
+    xt = jnp.swapaxes(x, 1, 2)
+    tpl = jnp.asarray(template, jnp.float32)
+    kw = dict(num_iter=5, alpha=1e-4, tile_p=256, interpret=True)
+    mf_ref, r_ref = acrwl1mf_fused(x, tpl, None, glue="cholesky", **kw)
+    a = np.asarray(mf_ref)[..., 0].ravel()
+
+    for label, args in (
+        ("bsp_raw_f32", dict(x_layout="bsp")),
+        ("bsp_bf16", dict(x_layout="bsp", stream_dtype=jnp.bfloat16)),
+        ("bps_bf16", dict(stream_dtype=jnp.bfloat16)),
+    ):
+        xx = xt if args.get("x_layout") == "bsp" else x
+        mf, r = acrwl1mf_fused(xx, tpl, None, glue="mono", **args, **kw)
+        bb = np.asarray(mf)[..., 0].ravel()
+        assert ((a > 500) == (bb > 500)).mean() > 0.998, label
+        big = a > 500
+        if big.any():
+            rel = np.abs(bb[big] - a[big]) / a[big]
+            assert np.median(rel) < 0.02, label
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=5e-3)
