@@ -59,7 +59,10 @@ from starcop_tpu.ops.mag1c import (
     _weighted_mean,
 )
 
-DEFAULT_TILE_P = 8192
+# Largest pixel tile that fits VMEM comfortably (x tile + row buffers,
+# double-buffered). Bigger tiles amortize per-grid-step DMA setup: measured
+# per-iteration 0.30 -> 0.20 ms (bf16 full-scene blocks) going 7680 -> 13824.
+DEFAULT_TILE_P = 13824
 
 
 def _dividing_tile(p0: int, tile_p: int):
@@ -337,11 +340,31 @@ def _glue_body(s1, mom, nin, target, m0, tmpl, k0, alpha,
     norm_out_ref[0] = jnp.reshape(norm_new, (1, 1))
 
 
+def _lane_dot(x_c, g):
+    """u = x_c @ g^T contracting the LANE axis: (S, T) x (1, T) -> (S, 1).
+
+    With bf16 operands Mosaic lowers the rank-1 lane contraction through a
+    VPU broadcast-multiply-reduce whose mixed-precision broadcast miscompiles
+    (``'vector.broadcast' op ... same element type`` verifier error); padding
+    the g row to a full 8-sublane tile forces the MXU path, which costs the
+    same passes (output tiling is sublane-quantized anyway).
+    """
+    if x_c.dtype == jnp.bfloat16:
+        g = jnp.concatenate(
+            [g.astype(jnp.bfloat16), jnp.zeros((7, g.shape[1]), jnp.bfloat16)],
+            axis=0,
+        )
+        return jax.lax.dot_general(
+            x_c, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )[:, :1]
+    return jax.lax.dot_general(
+        x_c, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _accumulate(pt, x_c, g, s1, mom):
     """Accumulate u += xc @ g^T and the scalar moments of g across tiles."""
-    u_tile = jax.lax.dot_general(
-        x_c, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, 1)
+    u_tile = _lane_dot(x_c, g)  # (S, 1)
     moments = jnp.concatenate(
         [jnp.sum(g, axis=1, keepdims=True), jnp.sum(g * g, axis=1, keepdims=True)],
         axis=0,
@@ -357,9 +380,7 @@ def _accumulate(pt, x_c, g, s1, mom):
 
 
 def _first_round_kernel(
-    x_ref, m0c_ref, w_ref, cit0_ref, norm0_ref, m0_ref, tmpl_ref, k0_ref, nin_ref,
-    mf_out_ref, r_out_ref, mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref,
-    s1, mom, *, cov_scale, alpha, npt,
+    *refs, cov_scale, alpha, npt, has_w, center, bf16_dots,
 ):
     """Init round: rmf mf + albedo R computed in-kernel from the streamed
     cube (replaces the caller-side p2 einsum — one fewer full-cube read),
@@ -369,10 +390,27 @@ def _first_round_kernel(
     cit0, UNclamped normalizer, no regularizer, R = (x.m0)/(m0.m0) = q/(m0.m0)+1
     with q over the centered cube; invalid (all-zero) pixels land on R = 1,
     mf = 0.
+
+    Static shape flags (every dropped ref is one fewer per-grid-step buffer
+    stream — at ~200 steps/iteration the DMA-setup latency is material):
+    ``has_w`` — weight row present (weighted (B, P, S) path only);
+    ``center`` — the cube streams RAW and is centered in VMEM by m0 (the
+    (B, S, P) f32 serving path; pre-centered streams skip the subtract);
+    ``bf16_dots`` — the cube streams as PRE-CENTERED bf16: run the MXU dots
+    on bf16 operands (ONE pass instead of f32's three — the dots are the
+    kernel's compute bill) with f32 accumulation; all elementwise math and
+    the glue stay f32.
     """
+    it = iter(refs)
+    x_ref = next(it)
+    w_ref = next(it) if has_w else None
+    cit0_ref, norm0_ref, m0_ref, tmpl_ref, k0_ref, nin_ref = (next(it) for _ in range(6))
+    mf_out_ref, r_out_ref, mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref = (
+        next(it) for _ in range(6)
+    )
+    s1, mom = next(it), next(it)
+
     pt = pl.program_id(1)
-    xc = x_ref[0].astype(jnp.float32) - m0c_ref[0]  # (S, T) centered
-    w = w_ref[0]  # (1, T)
     m0 = m0_ref[0]  # (S, 1)
     tmpl = tmpl_ref[0]
     k0 = k0_ref[0]
@@ -380,14 +418,25 @@ def _first_round_kernel(
     cit0 = cit0_ref[0]
     norm0 = norm0_ref[0, 0, 0]
 
+    if bf16_dots:
+        xc = x_ref[0]  # (S, T) pre-centered bf16
+        m0_d, cit0_d = m0.astype(jnp.bfloat16), cit0.astype(jnp.bfloat16)
+    else:
+        xc = x_ref[0].astype(jnp.float32)
+        if center:
+            xc = xc - m0
+        m0_d, cit0_d = m0, cit0
+
     q = jax.lax.dot_general(
-        m0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        m0_d.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (1, T)
     r = q / jnp.sum(m0 * m0) + 1.0
     proj = jax.lax.dot_general(
-        cit0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        cit0_d.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    mf0 = jnp.maximum(proj / (r * norm0), 0.0) * w
+    mf0 = jnp.maximum(proj / (r * norm0), 0.0)
+    if has_w:
+        mf0 = mf0 * w_ref[0]
     mf_out_ref[0] = mf0
     r_out_ref[0] = r
 
@@ -401,17 +450,23 @@ def _first_round_kernel(
 
 
 def _loop_round_kernel(
-    x_ref, m0c_ref, w_ref, r_ref, mf_ref, mu_ref, target_ref, cit_ref, norm_ref,
-    m0_ref, tmpl_ref, k0_ref, nin_ref,
-    mf_out_ref, mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref,
-    s1, mom, *, cov_scale, alpha, npt,
+    *refs, cov_scale, alpha, npt, has_w, center, bf16_dots,
 ):
     """One reweighting iteration, fully fused: mf update + modx statistics +
     the Woodbury glue — the whole iteration is this single pallas_call (the
-    XLA-level loop body carries five small arrays and nothing else)."""
+    XLA-level loop body carries five small arrays and nothing else). Static
+    flags as in ``_first_round_kernel``."""
+    it = iter(refs)
+    x_ref = next(it)
+    w_ref = next(it) if has_w else None
+    r_ref, mf_ref, mu_ref, target_ref, cit_ref, norm_ref = (next(it) for _ in range(6))
+    m0_ref, tmpl_ref, k0_ref, nin_ref = (next(it) for _ in range(4))
+    mf_out_ref, mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref = (
+        next(it) for _ in range(5)
+    )
+    s1, mom = next(it), next(it)
+
     pt = pl.program_id(1)
-    xc = x_ref[0].astype(jnp.float32) - m0c_ref[0]  # (S, T) centered by m0
-    w = w_ref[0]
     r = r_ref[0]
     mf_prev = mf_ref[0]
     mu = mu_ref[0]  # (S, 1) centered mean of current background
@@ -423,12 +478,27 @@ def _loop_round_kernel(
     k0 = k0_ref[0]
     nin = nin_ref[0, 0, 0]
 
-    xm = xc - mu
-    proj = jax.lax.dot_general(
-        cit.T, xm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if bf16_dots:
+        # proj = cit^T (xc - mu) = cit^T xc - cit.mu: the mean shift is a
+        # scalar computed exactly in f32, so the bf16 cube is never touched
+        # elementwise.
+        xc = x_ref[0]  # (S, T) pre-centered bf16
+        proj = jax.lax.dot_general(
+            cit.astype(jnp.bfloat16).T, xc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) - jnp.sum(cit * mu)
+    else:
+        xc = x_ref[0].astype(jnp.float32)
+        if center:
+            xc = xc - m0
+        xm = xc - mu
+        proj = jax.lax.dot_general(
+            cit.T, xm, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
     regularizer = 1.0 / (r * (mf_prev + EPSILON))
-    mf_new = jnp.maximum((proj - regularizer) / (r * norm), 0.0) * w
+    mf_new = jnp.maximum((proj - regularizer) / (r * norm), 0.0)
+    if has_w:
+        mf_new = mf_new * w_ref[0]
     mf_out_ref[0] = mf_new
 
     _accumulate(pt, xc, cov_scale * (r * mf_new), s1, mom)
@@ -441,7 +511,7 @@ def _loop_round_kernel(
 
 # ---------------------------------------------------------------------------
 # Streaming-round filter: per-iteration pallas_call with grid (B,) and
-# hand-rolled double-buffered chunk DMA (glue="mono", the serving default)
+# hand-rolled double-buffered chunk DMA (glue="mono", alternative design)
 # ---------------------------------------------------------------------------
 #
 # Why: measured on v5e, every per-grid-step buffer stream costs ~0.3-0.5 us
@@ -535,11 +605,12 @@ def _mono_first_kernel(
     x_any, carry_ref, const_ref, tmpl_ref,
     mf_out_ref, r_out_ref, carry_out_ref,
     xbuf, sems,
-    *, s, ch, nchunks, cov_scale, alpha, centered,
+    *, s, ch, nchunks, cov_scale, alpha, centered, bf16_dots,
 ):
     """Init round: rmf mf + albedo R from the streamed cube (mu = 0, cit =
     cit0, UNclamped norm0, no regularizer), plus the pass-through iteration's
-    modx statistics and the glue."""
+    modx statistics and the glue. R is written once here and streamed as a
+    whole-block input by the loop rounds (it never changes)."""
     bb = pl.program_id(0)
     k0 = const_ref[0, :, :s]
     m0 = const_ref[0, :, s:s + 1]
@@ -549,26 +620,28 @@ def _mono_first_kernel(
     cit0 = carry_ref[0, :, 2:3]
     norm0 = carry_ref[0, 0, 3]
     m0n = jnp.sum(m0 * m0)
+    # The per-chunk MXU matvecs are the round's compute bill (the DMA hides
+    # everything else): stack [cit; m0] so proj and q ride ONE dot — MXU
+    # pass count depends on the contraction/output tiling, not on <=128 LHS
+    # rows, so the second row is free.
+    cm = jnp.concatenate([cit0, m0], axis=1).T  # (2, S)
+    dot_t = jnp.bfloat16 if bf16_dots else jnp.float32
+    cm = cm.astype(dot_t)
 
     def per_chunk(c, xr, acc):
         s1, mom0, mom1 = acc
-        xc = xr.astype(jnp.float32)
+        xc = xr if bf16_dots else xr.astype(jnp.float32)
         if not centered:
             xc = xc - m0
-        q = jax.lax.dot_general(
-            m0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        r = q / m0n + 1.0
-        proj = jax.lax.dot_general(
-            cit0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        mf0 = jnp.maximum(proj / (r * norm0), 0.0)
+        pq = jax.lax.dot_general(
+            cm, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (2, CH): row 0 = proj, row 1 = q
+        r = pq[1:2] / m0n + 1.0
+        mf0 = jnp.maximum(pq[0:1] / (r * norm0), 0.0)
         mf_out_ref[0, :, pl.ds(c * ch, ch)] = mf0
         r_out_ref[0, :, pl.ds(c * ch, ch)] = r
         g = cov_scale * (r * mf0)
-        u_c = jax.lax.dot_general(
-            xc, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        u_c = _lane_dot(xc, g)
         return (s1 + u_c, mom0 + jnp.sum(g), mom1 + jnp.sum(g * g))
 
     s1, mom0, mom1 = _mono_stream(x_any, bb, ch, nchunks, xbuf, sems, per_chunk)
@@ -576,13 +649,14 @@ def _mono_first_kernel(
 
 
 def _mono_loop_kernel(
-    x_any, mf_ref, carry_ref, const_ref, tmpl_ref,
+    x_any, mf_ref, r_ref, carry_ref, const_ref, tmpl_ref,
     mf_out_ref, carry_out_ref,
     xbuf, sems,
-    *, s, ch, nchunks, cov_scale, alpha, centered,
+    *, s, ch, nchunks, cov_scale, alpha, centered, bf16_dots,
 ):
-    """One reweighting iteration: mf update + statistics + glue, with the
-    radiance manually chunk-streamed and R recomputed from it."""
+    """One reweighting iteration: mf update + statistics + glue. The albedo
+    row streams as a whole-block input (computed once by the first round), so
+    each chunk costs exactly TWO MXU matvecs (proj, u-accumulation)."""
     bb = pl.program_id(0)
     k0 = const_ref[0, :, :s]
     m0 = const_ref[0, :, s:s + 1]
@@ -592,31 +666,27 @@ def _mono_loop_kernel(
     target = carry_ref[0, :, 1:2]
     cit = carry_ref[0, :, 2:3]
     norm = carry_ref[0, 0, 3]
-    m0n = jnp.sum(m0 * m0)
     # proj = cit^T (xc - mu) = cit^T xc - cit^T mu: the mean shift is a
     # scalar, so xm is never materialized.
     cit_mu = jnp.sum(cit * mu)
+    dot_t = jnp.bfloat16 if bf16_dots else jnp.float32
+    cit_d = cit.astype(dot_t)
 
     def per_chunk(c, xr, acc):
         s1, mom0, mom1 = acc
-        xc = xr.astype(jnp.float32)
+        xc = xr if bf16_dots else xr.astype(jnp.float32)
         if not centered:
             xc = xc - m0
-        q = jax.lax.dot_general(
-            m0.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        r = q / m0n + 1.0
         proj = jax.lax.dot_general(
-            cit.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            cit_d.T, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) - cit_mu
+        r = r_ref[0, :, pl.ds(c * ch, ch)]
         mf_prev = mf_ref[0, :, pl.ds(c * ch, ch)]
         regularizer = 1.0 / (r * (mf_prev + EPSILON))
         mf_new = jnp.maximum((proj - regularizer) / (r * norm), 0.0)
         mf_out_ref[0, :, pl.ds(c * ch, ch)] = mf_new
         g = cov_scale * (r * mf_new)
-        u_c = jax.lax.dot_general(
-            xc, g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        u_c = _lane_dot(xc, g)
         return (s1 + u_c, mom0 + jnp.sum(g), mom1 + jnp.sum(g * g))
 
     s1, mom0, mom1 = _mono_stream(x_any, bb, ch, nchunks, xbuf, sems, per_chunk)
@@ -627,7 +697,7 @@ def _make_mono_calls(b, p, s, ch, cov_scale, alpha, centered, interpret,
                      stream_dtype):
     nchunks = p // ch
     kw = dict(s=s, ch=ch, nchunks=nchunks, cov_scale=cov_scale, alpha=alpha,
-              centered=centered)
+              centered=centered, bf16_dots=stream_dtype == jnp.bfloat16)
     row = lambda: pl.BlockSpec((1, 1, p), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
     carry_spec = lambda: pl.BlockSpec((1, s, 4), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((1, s, s + 2), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
@@ -658,7 +728,7 @@ def _make_mono_calls(b, p, s, ch, cov_scale, alpha, centered, interpret,
     loop = pl.pallas_call(
         functools.partial(_mono_loop_kernel, **kw),
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), row(), carry_spec(), const_spec, tmpl_spec],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), row(), row(), carry_spec(), const_spec, tmpl_spec],
         out_specs=[row(), carry_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
@@ -671,9 +741,14 @@ def _make_mono_calls(b, p, s, ch, cov_scale, alpha, centered, interpret,
     return first, loop
 
 
-def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret):
+def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret,
+                      has_w=True, center=False, bf16_dots=False):
+    if bf16_dots and center:
+        raise ValueError("bf16 streams are always pre-centered")
     npt = p // tile_p
     grid = (b, npt)
+    kw = dict(cov_scale=cov_scale, alpha=alpha, npt=npt, has_w=has_w,
+              center=center, bf16_dots=bf16_dots)
     tile = lambda: pl.BlockSpec((1, 1, tile_p), lambda bb, pt: (bb, 0, pt), memory_space=pltpu.VMEM)
     svec = lambda: pl.BlockSpec((1, s, 1), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM)
     scal = lambda: pl.BlockSpec((1, 1, 1), lambda bb, pt: (bb, 0, 0), memory_space=pltpu.VMEM)
@@ -695,10 +770,11 @@ def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret):
         flops=2 * b * p * s * 3, bytes_accessed=b * p * s * 4, transcendentals=0
     )
 
+    w_specs = [tile()] if has_w else []
     first = pl.pallas_call(
-        functools.partial(_first_round_kernel, cov_scale=cov_scale, alpha=alpha, npt=npt),
+        functools.partial(_first_round_kernel, **kw),
         grid=grid,
-        in_specs=[xspec, svec(), tile(), svec(), scal(), svec(), tmpl_spec, kspec, scal()],
+        in_specs=[xspec] + w_specs + [svec(), scal(), svec(), tmpl_spec, kspec, scal()],
         out_specs=[tile(), tile()] + glue_out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
@@ -709,9 +785,9 @@ def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret):
         cost_estimate=cost,
     )
     loop = pl.pallas_call(
-        functools.partial(_loop_round_kernel, cov_scale=cov_scale, alpha=alpha, npt=npt),
+        functools.partial(_loop_round_kernel, **kw),
         grid=grid,
-        in_specs=[xspec, svec(), tile(), tile(), tile(), svec(), svec(), svec(), scal(),
+        in_specs=[xspec] + w_specs + [tile(), tile(), svec(), svec(), svec(), scal(),
                   svec(), tmpl_spec, kspec, scal()],
         out_specs=[tile()] + glue_out_specs,
         out_shape=[jax.ShapeDtypeStruct((b, 1, p), jnp.float32)] + glue_out_shapes,
@@ -874,38 +950,51 @@ def acrwl1mf_fused(
     norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
 
     if glue == "mono":
-        # Whole-FILTER fusion: one pallas_call, grid (num_iter + 1, B),
-        # manual double-buffered chunk DMA (see _mono_kernel's rationale).
+        # Per-iteration streaming rounds with manual chunk DMA (see the mono
+        # kernels' rationale above).
         ch = _dividing_tile(p, min(tile_p, 13824))
         if ch is None:
             raise ValueError("glue='mono' requires P with a 128-aligned divisor")
         with jax.default_matmul_precision("highest"):
             k0 = _cho_inverse(c0)
         k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))
-        nin_col = jnp.zeros((b, s, 1), jnp.float32).at[:, 0, 0].set(1.0 / n[:, 0])
-        const = jnp.concatenate([k0, m0[:, :, None], nin_col], axis=2)
+        # Mosaic DMA slices must be sublane-aligned: pad the band dim to a
+        # multiple of 8. Zero rows are algebraically inert through every dot
+        # (m0/template/cit/k0 padded with zeros), so results are unchanged.
+        sp = -(-s // 8) * 8
+        m0_m, tgt0_m, cit0_m, tpl_m = m0, tgt0, cit0_vec, template
+        if sp != s:
+            pad_s = sp - s
+            xs = jnp.pad(xs, ((0, 0), (0, pad_s), (0, 0)))
+            k0 = jnp.pad(k0, ((0, 0), (0, pad_s), (0, pad_s)))
+            m0_m = jnp.pad(m0, ((0, 0), (0, pad_s)))
+            tgt0_m = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
+            cit0_m = jnp.pad(cit0_vec, ((0, 0), (0, pad_s)))
+            tpl_m = jnp.pad(template, (0, pad_s))
+        nin_col = jnp.zeros((b, sp, 1), jnp.float32).at[:, 0, 0].set(1.0 / n[:, 0])
+        const = jnp.concatenate([k0, m0_m[:, :, None], nin_col], axis=2)
         carry0 = jnp.concatenate(
             [
-                jnp.zeros((b, s, 1), jnp.float32),  # mu (centered)
-                tgt0[:, :, None],  # target
-                cit0_vec[:, :, None],  # cit
-                jnp.broadcast_to(norm0[:, None, None], (b, s, 1)),  # norm (unclamped init)
+                jnp.zeros((b, sp, 1), jnp.float32),  # mu (centered)
+                tgt0_m[:, :, None],  # target
+                cit0_m[:, :, None],  # cit
+                jnp.broadcast_to(norm0[:, None, None], (b, sp, 1)),  # norm (unclamped init)
             ],
             axis=2,
         )
         centered = not (x_layout == "bsp" and stream_dtype == jnp.float32)
         first_call, loop_call = _make_mono_calls(
-            b, p, s, ch, covariance_update_scaling, alpha,
+            b, p, sp, ch, covariance_update_scaling, alpha,
             centered, interpret, stream_dtype,
         )
-        tmpl_in = template[None, :, None]
+        tmpl_in = tpl_m[None, :, None]
         mf, r_row, carry = first_call(xs, carry0, const, tmpl_in)
 
         def round_body(_, st):
-            return loop_call(xs, st[0], st[1], const, tmpl_in)
+            return loop_call(xs, st[0], r_row, st[1], const, tmpl_in)
 
         mf, carry = jax.lax.fori_loop(0, num_iter - 1, round_body, (mf, carry))
-        mf_final = loop_call(xs, mf, carry, const, tmpl_in)[0]
+        mf_final = loop_call(xs, mf, r_row, carry, const, tmpl_in)[0]
         # Masked/padded pixels carry xc = 0, so mf = 0 and R = 1 there by
         # construction (no mask multiply needed — see the kernels' rationale).
         return (mf_final[:, 0, :p0, None] * SCALING), r_row[:, 0, :p0, None]
@@ -918,22 +1007,27 @@ def acrwl1mf_fused(
         with jax.default_matmul_precision("highest"):
             k0 = _cho_inverse(c0)
         k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
-        w_full = jnp.ones((b, p), jnp.float32) if w is None else w
+        has_w = w is not None
+        # Raw (B, S, P) f32 streams center in VMEM via m0; every other
+        # configuration pre-centers on HBM (see the layout branches above).
+        center = x_layout == "bsp" and stream_dtype == jnp.float32
         first_call, loop_call = _make_round_calls(
-            b, p, s, tile_p, covariance_update_scaling, alpha, interpret
+            b, p, s, tile_p, covariance_update_scaling, alpha, interpret,
+            has_w=has_w, center=center,
+            bf16_dots=stream_dtype == jnp.bfloat16,
         )
         nin = (1.0 / n[:, 0])[:, None, None]  # (B, 1, 1)
         tmpl_in = template[None, :, None]  # (1, S, 1)
         m0_in = m0[:, :, None]
-        w_row = w_full[:, None, :]
+        w_args = [w[:, None, :]] if has_w else []
         mf, r_row, mu_c, target, cit, norm = first_call(
-            xs, m0_k, w_row, cit0_vec[:, :, None], norm0[:, None, None],
+            xs, *w_args, cit0_vec[:, :, None], norm0[:, None, None],
             m0_in, tmpl_in, k0, nin,
         )
 
         def round_body(_, carry):
             return loop_call(
-                xs, m0_k, w_row, r_row, *carry, m0_in, tmpl_in, k0, nin
+                xs, *w_args, r_row, *carry, m0_in, tmpl_in, k0, nin
             )
 
         carry = jax.lax.fori_loop(
@@ -941,7 +1035,7 @@ def acrwl1mf_fused(
         )
         # Final mf-only evaluation applies the last statistics (reference
         # ordering: stats then mf, num_iter times); glue outputs unused.
-        mf_final = loop_call(xs, m0_k, w_row, r_row, *carry, m0_in, tmpl_in, k0, nin)[0]
+        mf_final = loop_call(xs, *w_args, r_row, *carry, m0_in, tmpl_in, k0, nin)[0]
         mf_out = (mf_final[:, 0, :] * SCALING)[:, :p0, None]
         r_out = r_row[:, 0, :p0, None]
         return mf_out, r_out
