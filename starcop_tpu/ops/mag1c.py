@@ -442,27 +442,41 @@ def mag1c_column_blocks(
         v = v[..., 0].reshape(nb, h, step).transpose(1, 0, 2).reshape(h, nb * step)
         return v[:, :w_dim]
 
-    if (
-        use_pallas
-        and no_mask
-        and _dividing_tile(h * step, DEFAULT_TILE_P) is not None
-    ):
+    if use_pallas and no_mask:
         # Fast path (every pixel valid): transpose straight to the kernel's
         # (B, S, P) streaming layout in ONE shuffle — the (B, P, S) batched
-        # view is never materialized, and the raw cube streams with in-kernel
-        # centering (see acrwl1mf_fused x_layout="bsp"). No mask, so no
-        # fill_value scatter either. The shuffle itself goes through a Pallas
-        # kernel (contiguous slab reads; ~2x XLA's lowering) when a row tile
-        # divides H.
-        xt = blocked_transpose(scene, nb, step, interpret=interpret)
-        if xt is None:
-            xt = scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
-        mf, albedo = acrwl1mf_fused(
-            xt, tpl, None, num_iter=num_iter, alpha=alpha,
-            stream_dtype=stream_dtype or compute_dtype, x_layout="bsp",
-            interpret=interpret,
-        )
-        return unblock(mf), unblock(albedo)
+        # view is never materialized — then pick the strongest kernel the
+        # block geometry allows:
+        #   resident — whole column block held in VMEM across ALL iterations
+        #     (ONE HBM read of the cube, total); needs the double-buffered
+        #     block + its centered f32 copy to fit the scoped-VMEM budget.
+        #   fused    — per-iteration streaming rounds (one read/iteration);
+        #     needs a lane-aligned pixel-tile divisor.
+        # The shuffle itself goes through a Pallas kernel (contiguous slab
+        # reads, band dim born sublane-padded so no XLA pad pass follows)
+        # when a row tile divides H.
+        p_blk = h * step
+        sp = -(-s // 8) * 8
+        sdt = stream_dtype or compute_dtype
+        item = 2 if sdt == jnp.bfloat16 else 4
+        resident_ok = sp * p_blk * (2 * item + 4) <= 100 * 1024 * 1024
+        fused_ok = _dividing_tile(p_blk, DEFAULT_TILE_P) is not None
+        if resident_ok or fused_ok:
+            glue = "resident" if resident_ok else "fused"
+            pad_s = sp if resident_ok else None
+            xt = blocked_transpose(scene, nb, step, pad_s=pad_s, interpret=interpret)
+            if xt is None:
+                xt = (
+                    scene.reshape(h, nb, step, s)
+                    .transpose(1, 3, 0, 2)
+                    .reshape(nb, s, h * step)
+                )
+            mf, albedo = acrwl1mf_fused(
+                xt, tpl, None, num_iter=num_iter, alpha=alpha,
+                stream_dtype=sdt, x_layout="bsp", glue=glue,
+                interpret=interpret,
+            )
+            return unblock(mf), unblock(albedo)
 
     # (H, nb, step, S) -> (nb, H * step, S): one batch entry per column block.
     xb = scene.reshape(h, nb, step, s).transpose(1, 0, 2, 3).reshape(nb, h * step, s)

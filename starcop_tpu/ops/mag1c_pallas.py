@@ -65,6 +65,18 @@ from starcop_tpu.ops.mag1c import (
 DEFAULT_TILE_P = 13824
 
 
+def _k0_solve_refined(k0, c0, tgt0):
+    """cit0 = C0^-1 tgt0 via the precomputed inverse K0, plus ONE Newton
+    (iterative-refinement) step: cit += K0 (tgt0 - C0 cit). Two extra (S, S)
+    matvecs — negligible next to the factorization this saves — and restores
+    direct-``cho_solve`` accuracy (the raw K0 matvec alone measurably widens
+    the bf16 stream's detection-mask disagreement on near-threshold pixels)."""
+    hp = jax.lax.Precision.HIGHEST
+    cit = jnp.einsum("bst,bt->bs", k0, tgt0, precision=hp)
+    resid = tgt0 - jnp.einsum("bst,bt->bs", c0, cit, precision=hp)
+    return cit + jnp.einsum("bst,bt->bs", k0, resid, precision=hp)
+
+
 def _dividing_tile(p0: int, tile_p: int):
     """Largest lane-aligned (multiple-of-128) divisor of ``p0`` that is
     <= ``tile_p``; None if there is none. Lets the unweighted path run with
@@ -79,16 +91,25 @@ def _dividing_tile(p0: int, tile_p: int):
 
 
 def _blocked_transpose_kernel(x_ref, out_ref):
-    # x_ref: (Th, 1, step, S) scene slab -> out_ref: (1, S, Th*step).
+    # x_ref: (Th, 1, step, S) scene slab -> out_ref: (1, S_out, Th*step)
+    # with S_out >= S zero-padded (sublane-aligned for downstream DMA).
     th, _, st, s = x_ref.shape
-    x = x_ref[...]
-    out_ref[0] = jnp.transpose(x.reshape(th * st, s))
+    s_out = out_ref.shape[1]
+    x = jnp.transpose(x_ref[...].reshape(th * st, s))
+    if s_out != s:
+        x = jnp.concatenate(
+            [x, jnp.zeros((s_out - s, th * st), x.dtype)], axis=0
+        )
+    out_ref[0] = x
 
 
 def blocked_transpose(
-    scene: jax.Array, nb: int, step: int, *, interpret: bool = False
+    scene: jax.Array, nb: int, step: int, *, pad_s: Optional[int] = None,
+    interpret: bool = False
 ) -> Optional[jax.Array]:
-    """(H, nb*step, S) scene -> (nb, S, H*step) column-block streaming layout.
+    """(H, nb*step, S) scene -> (nb, S', H*step) column-block streaming
+    layout, where S' = ``pad_s`` or S (extra band rows zero-filled — born
+    sublane-aligned so the serving kernels never pay an XLA pad pass).
 
     Pallas equivalent of
     ``scene.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, -1)``.
@@ -107,6 +128,9 @@ def blocked_transpose(
     h, w, s = scene.shape
     if w != nb * step:
         raise ValueError("scene width must equal nb*step")
+    s_out = s if pad_s is None else int(pad_s)
+    if s_out < s:
+        raise ValueError("pad_s must be >= the scene band count")
     budget = 2 * 1024 * 1024
     tile_h = None
     for th in range(min(h, 512), 0, -1):
@@ -134,12 +158,12 @@ def blocked_transpose(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, s, tile_h * step), lambda b, ht: (b, 0, ht), memory_space=pltpu.VMEM
+            (1, s_out, tile_h * step), lambda b, ht: (b, 0, ht), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, s, h * step), scene.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, s_out, h * step), scene.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=0, bytes_accessed=2 * h * w * s * 4, transcendentals=0
+            flops=0, bytes_accessed=h * w * (s + s_out) * 4, transcendentals=0
         ),
     )(scene4)
 
@@ -561,10 +585,10 @@ def _mono_stream(x_any, bb, ch, nchunks, xbuf, sems, per_chunk):
     )
 
 
-def _mono_glue(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha, carry_out_ref):
-    """In-kernel Woodbury glue (same algebra as _glue_body), writing the next
-    iteration's packed carry block [mu | target | cit | norm]."""
-    s = target.shape[0]
+def _glue_math(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha):
+    """In-kernel Woodbury rank-2 solve (same algebra as ``_glue_body``) as a
+    pure function: from the accumulated u = sum xc g and the moments of g,
+    produce the next iteration's ``(mu, target, cit, norm)`` carry values."""
     u = s1 * nin
     gbar = mom0 * nin
     beta = mom1 * nin - gbar * gbar
@@ -596,6 +620,16 @@ def _mono_glue(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha, carry_out_ref):
         d = beta * target * target - 2.0 * target * u
         z = z - a0inv(alpha * d * z)
     norm_new = jnp.maximum(jnp.sum(target_new * z), 1.0)
+    return mu_new, target_new, z, norm_new
+
+
+def _mono_glue(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha, carry_out_ref):
+    """In-kernel Woodbury glue, writing the next iteration's packed carry
+    block [mu | target | cit | norm]."""
+    s = target.shape[0]
+    mu_new, target_new, z, norm_new = _glue_math(
+        s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha
+    )
     carry_out_ref[0] = jnp.concatenate(
         [mu_new, target_new, z, jnp.full((s, 1), norm_new, jnp.float32)], axis=1
     )
@@ -741,6 +775,235 @@ def _make_mono_calls(b, p, s, ch, cov_scale, alpha, centered, interpret,
     return first, loop
 
 
+# ---------------------------------------------------------------------------
+# VMEM-resident filter: grid (B,), the whole column block stays in VMEM
+# across ALL iterations (glue="resident", the TPU serving default)
+# ---------------------------------------------------------------------------
+#
+# Why: the streaming designs above re-read the cube from HBM once per
+# iteration — 31 full-cube reads ~ 12 ms of pure DMA at v5e's ~819 GB/s for
+# an EMIT-sized scene, an HBM-roofline floor no amount of fusion crosses.
+# But one column block of the blocked scene is only S_pad x (H*step) floats
+# (~15.5 MB at f32 for 1280x54x50-band blocks) and v5e VMEM is ~128 MB: the
+# block fits in VMEM WHOLE. This kernel runs grid (B,), DMAs each block in
+# once (double-buffered across grid steps so block b+1 lands while block b
+# computes), and runs the rmf init + every reweighting iteration + the
+# Woodbury glue on the resident block. HBM traffic collapses from 31 reads
+# to ONE; the filter becomes VPU/MXU-compute-bound (~2 matvecs/iteration).
+
+
+def _resident_kernel(
+    x_any, carry_ref, const_ref, tmpl_ref,
+    mf_out_ref, r_out_ref,
+    xbuf, sems,
+    *, s, nb, num_iter, cov_scale, alpha, centered, bf16_dots, prefetch,
+):
+    """Whole-filter kernel for one column block (see section rationale).
+
+    Inputs/semantics mirror the mono kernels: ``const_ref`` packs
+    [k0 | m0 | nin], ``carry_ref`` packs the rmf init carry
+    [mu0 | target0 | cit0 | norm0]. The albedo R is computed once from the
+    resident block and stays in VMEM for every iteration.
+    """
+    bb = pl.program_id(0)
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(x_any.at[i], xbuf.at[slot], sems.at[slot])
+
+    if prefetch:
+        # Cross-grid-step double buffering: the DMA for block bb was started
+        # by step bb-1 (or here at bb == 0); start bb+1's before computing.
+        @pl.when(bb == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(bb + 1 < nb)
+        def _():
+            dma(jax.lax.rem(bb + 1, 2), bb + 1).start()
+
+        slot = jax.lax.rem(bb, 2)
+        dma(slot, bb).wait()
+    else:
+        # Interpret mode: scratch/semaphore state is not threaded across grid
+        # steps — fetch synchronously.
+        slot = 0
+        dma(0, bb).start()
+        dma(0, bb).wait()
+
+    k0 = const_ref[0, :, :s]
+    m0 = const_ref[0, :, s:s + 1]
+    nin = const_ref[0, 0, s + 1]
+    tmpl = tmpl_ref[0]
+    target0 = carry_ref[0, :, 1:2]
+    cit0 = carry_ref[0, :, 2:3]
+    norm0 = carry_ref[0, 0, 3]
+
+    # bf16 here is a STORAGE format only (halves the one DMA-in): the block
+    # converts to f32 once in VMEM and every dot runs f32. Unlike the
+    # HBM-bound streaming kernels (where bf16 dots ride under the DMA), the
+    # resident filter is compute-bound and bf16 MXU/VPU mixed-precision
+    # handling measured ~1.5x SLOWER per iteration than plain f32.
+    xc = xbuf[slot].astype(jnp.float32)
+    if not (centered or bf16_dots):
+        xc = xc - m0
+
+    def mx(lhs_col, shift=None):
+        """proj row: (S, 1) carry vector against the resident block."""
+        out = jax.lax.dot_general(
+            lhs_col.T, xc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out if shift is None else out - shift
+
+    # --- first round: rmf init (mu = 0, cit = cit0, UNclamped norm0, no
+    # regularizer) + albedo R + the pass-through iteration's stats ---------
+    m0n = jnp.sum(m0 * m0)
+    cm = jnp.concatenate([cit0, m0], axis=1).T  # (2, S)
+    pq = jax.lax.dot_general(
+        cm, xc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (2, P): row 0 = proj, row 1 = q
+    r = pq[1:2] / m0n + 1.0
+    mf = jnp.maximum(pq[0:1] / (r * norm0), 0.0)
+
+    def stats_glue(mf_new, target, carry_r):
+        g = cov_scale * (carry_r * mf_new)
+        u = _lane_dot(xc, g)
+        return _glue_math(
+            u, jnp.sum(g), jnp.sum(g * g), nin, target, m0, tmpl, k0, alpha
+        )
+
+    mu, target, cit, norm = stats_glue(mf, target0, r)
+
+    def iter_body(_, c):
+        mf_prev, mu, target, cit, norm = c
+        proj = mx(cit, jnp.sum(cit * mu))
+        regularizer = 1.0 / (r * (mf_prev + EPSILON))
+        mf_new = jnp.maximum((proj - regularizer) / (r * norm), 0.0)
+        return (mf_new,) + stats_glue(mf_new, target, r)
+
+    mf, mu, target, cit, norm = jax.lax.fori_loop(
+        0, num_iter - 1, iter_body, (mf, mu, target, cit, norm)
+    )
+
+    # Final mf-only evaluation applies the last statistics (reference
+    # ordering: stats then mf, num_iter times).
+    proj = mx(cit, jnp.sum(cit * mu))
+    regularizer = 1.0 / (r * (mf + EPSILON))
+    mf_out_ref[0] = jnp.maximum((proj - regularizer) / (r * norm), 0.0)
+    r_out_ref[0] = r
+
+
+def _init_stats_kernel(x_any, m0_out, c0_out, xbuf, sems, *, nb, inv_n, prefetch):
+    """One-read init statistics for the bsp serving path: per-block mean AND
+    the CENTERED covariance sums from a single DMA of the block (the XLA
+    expression costs two separate full-cube reads plus a materialized
+    centered copy — measured ~5.8 ms vs ~1 ms for this kernel on an
+    EMIT-sized scene). Centering happens in VMEM, so the single pass stays
+    exactly as well-conditioned as the two-pass XLA init."""
+    bb = pl.program_id(0)
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(x_any.at[i], xbuf.at[slot], sems.at[slot])
+
+    if prefetch:
+        @pl.when(bb == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(bb + 1 < nb)
+        def _():
+            dma(jax.lax.rem(bb + 1, 2), bb + 1).start()
+
+        slot = jax.lax.rem(bb, 2)
+        dma(slot, bb).wait()
+    else:
+        slot = 0
+        dma(0, bb).start()
+        dma(0, bb).wait()
+
+    x = xbuf[slot][...]
+    m0 = jnp.sum(x, axis=1, keepdims=True) * inv_n  # (S, 1)
+    xc = x - m0
+    # Precision.HIGHEST: c0 seeds the once-inverted Woodbury base (see the
+    # XLA init's rationale) — default bf16 MXU passes would bake O(4e-3)
+    # relative error into every downstream solve.
+    c0 = jax.lax.dot_general(
+        xc, xc, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * inv_n
+    m0_out[0] = m0
+    c0_out[0] = c0
+
+
+def _make_init_stats_call(b, p, s, inv_n, interpret):
+    kw = dict(nb=b, inv_n=inv_n, prefetch=not interpret)
+    return pl.pallas_call(
+        functools.partial(_init_stats_kernel, **kw),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, s, 1), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, s, p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * s * (s + 1),
+            bytes_accessed=b * p * s * 4,
+            transcendentals=0,
+        ),
+    )
+
+
+def _make_resident_call(b, p, s, num_iter, cov_scale, alpha, centered,
+                        interpret, stream_dtype):
+    kw = dict(s=s, nb=b, num_iter=num_iter, cov_scale=cov_scale, alpha=alpha,
+              centered=centered, bf16_dots=stream_dtype == jnp.bfloat16,
+              prefetch=not interpret)
+    row = lambda: pl.BlockSpec((1, 1, p), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    carry_spec = pl.BlockSpec((1, s, 4), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, s, s + 2), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    tmpl_spec = pl.BlockSpec((1, s, 1), lambda bb: (0, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_resident_kernel, **kw),
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), carry_spec, const_spec, tmpl_spec],
+        out_specs=[row(), row()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, s, p), stream_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        # Mosaic's default scoped-vmem limit is 16 MB; the resident design
+        # deliberately spends most of the physical ~128 MB on the
+        # double-buffered block + its centered f32 copy.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p * s * 3 * num_iter,
+            # ONE read of the cube, total — the point of residency.
+            bytes_accessed=b * p * s * (2 if stream_dtype == jnp.bfloat16 else 4),
+            transcendentals=0,
+        ),
+    )
+
+
 def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret,
                       has_w=True, center=False, bf16_dots=False):
     if bf16_dots and center:
@@ -851,7 +1114,12 @@ def acrwl1mf_fused(
     the last pixel tile) so a whole iteration is one pallas_call with zero
     small-XLA-op launches; ``"woodbury"`` runs the same algebra as XLA glue
     between passes; ``"cholesky"`` refactorizes every iteration exactly like
-    the XLA path. All are pinned against the f64 oracle by tests.
+    the XLA path; ``"mono"`` collapses the grid to (B,) with manual
+    double-buffered chunk DMA; ``"resident"`` holds each whole column block
+    in VMEM across ALL iterations — ONE HBM read of the cube total instead
+    of one per iteration (the TPU serving fast path; requires the block,
+    S_pad x P x dtype, to fit VMEM ~ 2 x 16 MB double-buffered). All are
+    pinned against the f64 oracle by tests.
     """
     x = jnp.asarray(x, jnp.float32)
     template = jnp.asarray(template, jnp.float32)
@@ -859,7 +1127,81 @@ def acrwl1mf_fused(
     if x_layout == "bsp":
         if weights is not None:
             raise ValueError("x_layout='bsp' requires weights=None")
-        b, s, p0 = x.shape
+        b, s_in, p0 = x.shape
+        s = template.shape[0]
+        sp = -(-s // 8) * 8
+        if s_in not in (s, sp):
+            raise ValueError(
+                "x_layout='bsp' band dim must be S or S padded to the next "
+                "multiple of 8 (zero rows)"
+            )
+
+        if glue in ("mono", "resident"):
+            # --- serving fast path: NO full-cube XLA op anywhere. ---------
+            # Init statistics (mean + centered covariance) come from ONE
+            # Pallas read of the cube; cit0 rides the Woodbury base K0; the
+            # cube itself is consumed only by Pallas kernels. The input may
+            # arrive pre-padded to sp bands (blocked_transpose pad_s), in
+            # which case not even a pad pass touches it.
+            xsp = x if s_in == sp else jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+            m0p, c0p = _make_init_stats_call(b, p0, sp, 1.0 / p0, interpret)(xsp)
+            c0s = _shrink_diag(c0p[:, :s, :s], alpha)
+            with jax.default_matmul_precision("highest"):
+                k0s = _cho_inverse(c0s)
+            k0s = 0.5 * (k0s + jnp.swapaxes(k0s, 1, 2))
+            tgt0 = template[None, :] * m0p[:, :s, 0]
+            cit0 = _k0_solve_refined(k0s, c0s, tgt0)
+            norm0 = jnp.einsum("bs,bs->b", tgt0, cit0)
+            pad_s = sp - s
+            k0p = jnp.pad(k0s, ((0, 0), (0, pad_s), (0, pad_s)))
+            tgt0p = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
+            cit0p = jnp.pad(cit0, ((0, 0), (0, pad_s)))
+            tpl_p = jnp.pad(template, (0, pad_s))
+            if stream_dtype == jnp.float32:
+                xs_run = xsp  # raw; kernels center in VMEM via m0
+                centered = False
+            else:
+                xs_run = (xsp - m0p).astype(stream_dtype)
+                centered = True
+            nin_col = jnp.zeros((b, sp, 1), jnp.float32).at[:, 0, 0].set(1.0 / p0)
+            const = jnp.concatenate([k0p, m0p, nin_col], axis=2)
+            carry0 = jnp.concatenate(
+                [
+                    jnp.zeros((b, sp, 1), jnp.float32),
+                    tgt0p[:, :, None],
+                    cit0p[:, :, None],
+                    jnp.broadcast_to(norm0[:, None, None], (b, sp, 1)),
+                ],
+                axis=2,
+            )
+            tmpl_in = tpl_p[None, :, None]
+            if glue == "resident":
+                res_call = _make_resident_call(
+                    b, p0, sp, num_iter, covariance_update_scaling, alpha,
+                    centered, interpret, stream_dtype,
+                )
+                mf_row, r_row = res_call(xs_run, carry0, const, tmpl_in)
+                return (mf_row[:, 0, :, None] * SCALING), r_row[:, 0, :, None]
+            ch = _dividing_tile(p0, min(tile_p, 13824))
+            if ch is None:
+                raise ValueError("glue='mono' requires P with a 128-aligned divisor")
+            first_call, loop_call = _make_mono_calls(
+                b, p0, sp, ch, covariance_update_scaling, alpha,
+                centered, interpret, stream_dtype,
+            )
+            mf, r_row, carry = first_call(xs_run, carry0, const, tmpl_in)
+
+            def round_body(_, st):
+                return loop_call(xs_run, st[0], r_row, st[1], const, tmpl_in)
+
+            mf, carry = jax.lax.fori_loop(0, num_iter - 1, round_body, (mf, carry))
+            mf_final = loop_call(xs_run, mf, r_row, carry, const, tmpl_in)[0]
+            return (mf_final[:, 0, :, None] * SCALING), r_row[:, 0, :, None]
+
+        if s_in != s:
+            raise ValueError(
+                "pre-padded bsp input requires glue='mono' or 'resident'"
+            )
         tile_p = _dividing_tile(p0, tile_p)
         if tile_p is None:
             raise ValueError(
@@ -946,18 +1288,30 @@ def acrwl1mf_fused(
     )
     c0 = _shrink_diag(c0, alpha)
     tgt0 = template[None, :] * m0  # (B, S)
-    cit0_vec = _cho_solve_vec(c0, tgt0)  # (B, S)
-    norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
-
-    if glue == "mono":
-        # Per-iteration streaming rounds with manual chunk DMA (see the mono
-        # kernels' rationale above).
-        ch = _dividing_tile(p, min(tile_p, 13824))
-        if ch is None:
-            raise ValueError("glue='mono' requires P with a 128-aligned divisor")
+    if glue == "cholesky":
+        cit0_vec = _cho_solve_vec(c0, tgt0)  # (B, S)
+        k0 = None
+    else:
+        # Every Woodbury-family glue needs the once-inverted base K0 anyway;
+        # deriving cit0 from it instead of a second Cholesky solve removes a
+        # whole batched factorization (~1.5 ms at B=23, S=50) from the init
+        # path. default_matmul_precision("highest"): the factorization/solve
+        # lowering contains internal matmuls that TPU otherwise runs as bf16
+        # passes; K0's error persists across all iterations.
         with jax.default_matmul_precision("highest"):
             k0 = _cho_inverse(c0)
-        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))
+        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
+        cit0_vec = _k0_solve_refined(k0, c0, tgt0)
+    norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
+
+    if glue in ("mono", "resident"):
+        # Per-iteration streaming rounds with manual chunk DMA ("mono", see
+        # the mono kernels' rationale) or the whole-block VMEM-resident
+        # filter ("resident", see its section rationale). Same prologue.
+        if glue == "mono":
+            ch = _dividing_tile(p, min(tile_p, 13824))
+            if ch is None:
+                raise ValueError("glue='mono' requires P with a 128-aligned divisor")
         # Mosaic DMA slices must be sublane-aligned: pad the band dim to a
         # multiple of 8. Zero rows are algebraically inert through every dot
         # (m0/template/cit/k0 padded with zeros), so results are unchanged.
@@ -983,11 +1337,20 @@ def acrwl1mf_fused(
             axis=2,
         )
         centered = not (x_layout == "bsp" and stream_dtype == jnp.float32)
+        tmpl_in = tpl_m[None, :, None]
+        if glue == "resident":
+            res_call = _make_resident_call(
+                b, p, sp, num_iter, covariance_update_scaling, alpha,
+                centered, interpret, stream_dtype,
+            )
+            mf_row, r_row = res_call(xs, carry0, const, tmpl_in)
+            # Masked/padded pixels carry xc = 0, so mf = 0 and R = 1 there by
+            # construction (same argument as the mono kernels).
+            return (mf_row[:, 0, :p0, None] * SCALING), r_row[:, 0, :p0, None]
         first_call, loop_call = _make_mono_calls(
             b, p, sp, ch, covariance_update_scaling, alpha,
             centered, interpret, stream_dtype,
         )
-        tmpl_in = tpl_m[None, :, None]
         mf, r_row, carry = first_call(xs, carry0, const, tmpl_in)
 
         def round_body(_, st):
@@ -1004,9 +1367,6 @@ def acrwl1mf_fused(
         # pallas_call (kernels above), so the loop body has no small-XLA-op
         # launches at all; the init albedo/mf0 matvecs fold into the first
         # streaming round (one fewer full-cube read than the split path).
-        with jax.default_matmul_precision("highest"):
-            k0 = _cho_inverse(c0)
-        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
         has_w = w is not None
         # Raw (B, S, P) f32 streams center in VMEM via m0; every other
         # configuration pre-centers on HBM (see the layout branches above).
@@ -1077,13 +1437,8 @@ def acrwl1mf_fused(
         # tiny a D drift — instead of a fresh Cholesky factorization, whose
         # ~S-step sequential column loop is the latency bottleneck of the
         # whole filter once streaming is fused (measured ~0.28 ms/iteration
-        # vs ~0.08 ms for this update at B=23, S=50).
-        # default_matmul_precision("highest"): the factorization/solve
-        # lowering contains internal matmuls that TPU otherwise runs as bf16
-        # passes; K0's error persists across all iterations.
-        with jax.default_matmul_precision("highest"):
-            k0 = _cho_inverse(c0)
-        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
+        # vs ~0.08 ms for this update at B=23, S=50). K0 itself comes from
+        # the shared init above (also the source of cit0).
         inv_n = 1.0 / n[:, 0]  # (B,)
         sa = 1.0 - alpha
 
