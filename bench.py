@@ -37,6 +37,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    # Remote-attached TPU compiles are 20 s - 10+ min; persist executables
+    # so driver re-runs (and the extras' many programs) pay once.
+    enable_persistent_compilation_cache()
+
     from starcop_tpu.data.synthetic import synthetic_scene
     from starcop_tpu.ops.ch4_template import generate_template_from_bands
     from starcop_tpu.ops.mag1c import mag1c_column_blocks, reference_oracle_acrwl1mf

@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=1)
     args = p.parse_args(argv)
 
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from starcop_tpu.data.datamodule import BatchLoader, prefetch_to_device
     from starcop_tpu.data.dataset import ChipDataset, read_index_csv
     from starcop_tpu.eval.validation import run_validation

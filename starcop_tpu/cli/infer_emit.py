@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--georeference", action="store_true")
     args = p.parse_args(argv)
 
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from starcop_tpu.data.emit import EMITRawScene
     from starcop_tpu.models import SegmentationModel
     from starcop_tpu.scenes.emit_pipeline import emit_inference

@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=1e-4)
     args = p.parse_args(argv)
 
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     t0 = time.time()
     cube = np.load(args.radiance)
     if args.wavelengths:

@@ -35,6 +35,10 @@ def main(argv=None):
                         "data parallelism; linear scaling, zero collectives)")
     args = p.parse_args(argv)
 
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from starcop_tpu.models import SegmentationModel
     from starcop_tpu.serve.pipeline import emit_serving_pipeline
     from starcop_tpu.setup_shims import load_pretrained_variables

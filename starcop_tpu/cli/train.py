@@ -27,6 +27,10 @@ def main(argv=None):
     logger = logging.getLogger("starcop_tpu.cli.train")
     argv = sys.argv[1:] if argv is None else argv
 
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from starcop_tpu.config import Config
 
     cfg = Config()

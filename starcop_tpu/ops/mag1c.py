@@ -144,6 +144,119 @@ def _cho_inverse(c: jax.Array) -> jax.Array:
     )
 
 
+def _chol_inv_rec(a: jax.Array, hp) -> jax.Array:
+    """Inverse Cholesky factor L^{-1} of SPD ``a`` (n a power of two) by
+    Schur-complement recursion — batched matmuls + 2x2 closed forms only.
+
+    L = [[L1, 0], [W, L2]] with W = A21 L1^{-T} and L2 L2^T = A22 - W W^T,
+    so L^{-1} = [[L1^{-1}, 0], [-L2^{-1} W L1^{-1}, L2^{-1}]]. This is exact
+    block-Cholesky algebra (same backward-stability class as the unblocked
+    factorization), with every step a batched (n/2)^2 matmul.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        return 1.0 / jnp.sqrt(a)
+    if n == 2:
+        l11 = jnp.sqrt(a[..., 0:1, 0:1])
+        l21 = a[..., 1:2, 0:1] / l11
+        l22 = jnp.sqrt(a[..., 1:2, 1:2] - l21 * l21)
+        zero = jnp.zeros_like(l11)
+        top = jnp.concatenate([1.0 / l11, zero], axis=-1)
+        bot = jnp.concatenate([-l21 / (l11 * l22), 1.0 / l22], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+    h = n // 2
+    a11 = a[..., :h, :h]
+    a21 = a[..., h:, :h]
+    a22 = a[..., h:, h:]
+    l1i = _chol_inv_rec(a11, hp)
+    w = jnp.matmul(a21, jnp.swapaxes(l1i, -1, -2), precision=hp)
+    s = a22 - jnp.matmul(w, jnp.swapaxes(w, -1, -2), precision=hp)
+    l2i = _chol_inv_rec(s, hp)
+    bl = -jnp.matmul(l2i, jnp.matmul(w, l1i, precision=hp), precision=hp)
+    top = jnp.concatenate([l1i, jnp.zeros_like(w).swapaxes(-1, -2)], axis=-1)
+    bot = jnp.concatenate([bl, l2i], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def spd_inverse_recursive(c: jax.Array) -> jax.Array:
+    """Explicit SPD inverse via recursive block Cholesky — MXU matmuls only,
+    backward-stable (unlike ``spd_inverse_newton``; see its caveat).
+
+    TPU rationale: ``_cho_inverse`` lowers the factorization and the two
+    triangular solves to ~S-step sequential loops of dynamic-sliced
+    scalar-ish updates. This route replaces them with a static Schur
+    recursion (``_chol_inv_rec``): the input is embedded in the next
+    power-of-two size (identity padding — block-diagonal, so the embedded
+    inverse's top-left block IS the answer), the inverse Cholesky factor
+    comes out of ~3 batched matmuls per recursion node, and
+    K = L^{-T} L^{-1} is one final matmul. Residual quality is pinned
+    against the lax route by tests/test_mag1c.py::test_spd_inverse_recursive.
+
+    c: (..., S, S) SPD -> (..., S, S) ~= C^{-1} (symmetrized).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    s = c.shape[-1]
+    n = 1 << (s - 1).bit_length()  # next power of two
+    if n != s:
+        eye = jnp.eye(n, dtype=c.dtype)
+        pad = [(0, 0)] * (c.ndim - 2) + [(0, n - s), (0, n - s)]
+        c = jnp.pad(c, pad) + eye * jnp.pad(
+            jnp.zeros((s,), c.dtype), (0, n - s), constant_values=1.0
+        )
+    li = _chol_inv_rec(c, hp)
+    k = jnp.matmul(jnp.swapaxes(li, -1, -2), li, precision=hp)
+    k = 0.5 * (k + jnp.swapaxes(k, -1, -2))
+    return k[..., :s, :s]
+
+
+def spd_inverse_newton(c: jax.Array, *, num_iter: int = 30) -> jax.Array:
+    """Batched SPD inverse via Newton–Schulz iteration — MXU matmuls only.
+
+    TPU rationale: ``_cho_inverse`` lowers to a batched Cholesky
+    factorization plus two triangular solves, each a chain of ~S dependent
+    scalar-ish steps that XLA cannot tile onto the MXU — milliseconds for a
+    (23, 50, 50) batch, and a dominant fixed cost of the VMEM-resident
+    matched filter's init. The Newton–Schulz recurrence
+
+        X_{k+1} = X_k (2 I - C X_k)
+
+    is two batched (S, S) matmuls per step: ~60 tiny MXU ops total, fully
+    parallel over the batch. Seeded with ``X_0 = I / ||C||_inf`` every
+    eigenvalue y of X_0 C lies in (0, 1], where the scalar map y <- y(2 - y)
+    increases monotonically to 1: the doubling phase needs ~log2(cond)
+    steps, the quadratic endgame ~5 more, so ``num_iter=30`` covers
+    condition numbers up to ~2^24 — far beyond a diagonally-shrunk radiance
+    covariance.
+
+    Accuracy caveat (measured, tests/test_mag1c.py::test_spd_inverse_newton):
+    the FORWARD error matches the f32 Cholesky route (~eps * cond), but the
+    iteration is not backward-stable — the residual ||KC - I|| stalls at
+    ~eps * cond (vs Cholesky's ~eps * sqrt(cond) structure), i.e. K is a
+    good approximation OF the inverse but a poor SOLVER operator. That is
+    why the matched filter's Woodbury glue keeps ``_cho_inverse`` (its K0
+    feeds iterative refinement and per-iteration rank-2 solves, both of
+    which amplify the residual): wiring this in measurably moved
+    near-threshold detections. Use it where only entrywise accuracy of the
+    inverse matters and the Cholesky/triangular-solve lowering is the
+    bottleneck.
+
+    c: (..., S, S) SPD -> (..., S, S) ~= C^{-1} (symmetrized).
+    """
+    hp = jax.lax.Precision.HIGHEST
+    s = c.shape[-1]
+    eye = jnp.eye(s, dtype=c.dtype)
+    # ||C||_inf (max absolute row sum) >= lambda_max for symmetric C.
+    r = jnp.max(jnp.sum(jnp.abs(c), axis=-1), axis=-1)[..., None, None]
+    x0 = (eye / r) * jnp.ones_like(c[..., :1, :1])  # broadcast to batch
+
+    def body(_, x):
+        cx = jnp.matmul(c, x, precision=hp)
+        return jnp.matmul(x, 2.0 * eye - cx, precision=hp)
+
+    x = jax.lax.fori_loop(0, num_iter, body, x0)
+    return 0.5 * (x + jnp.swapaxes(x, -1, -2))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -210,3 +210,37 @@ def test_plot_batch_smoke(tmp_path):
     assert out.stat().st_size > 1000
     rgb = mask_to_rgb(np.array([[0, 3], [2, 1]]), [0, 1, 2, 3], DIFFERENCES_COLORS)
     assert rgb.shape == (2, 2, 4)
+
+
+def test_persistent_compilation_cache(tmp_path, monkeypatch):
+    """enable_persistent_compilation_cache points JAX's persistent cache at
+    the given dir (env-overridable, disable with =0) and compiled
+    executables actually land there."""
+    import jax
+
+    from starcop_tpu.utils import enable_persistent_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        cache = tmp_path / "xla"
+        got = enable_persistent_compilation_cache(
+            str(cache), min_compile_time_secs=0.0
+        )
+        assert got == str(cache) and cache.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+
+        @jax.jit
+        def f(a):
+            return (a * 2.0 + 1.0).sum()
+
+        x = jnp.arange(512, dtype=jnp.float32).reshape(16, 32)
+        assert float(f(x)) == float(np.arange(512, dtype=np.float32).sum() * 2 + 512)
+        assert any(cache.iterdir()), "no executable persisted"
+
+        # env override + disable switch
+        monkeypatch.setenv("STARCOP_COMPILE_CACHE", "0")
+        assert enable_persistent_compilation_cache(str(cache)) is None
+        monkeypatch.setenv("STARCOP_COMPILE_CACHE", str(tmp_path / "other"))
+        assert enable_persistent_compilation_cache() == str(tmp_path / "other")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -505,3 +505,82 @@ def test_blocked_transpose_pad_s(synthetic_radiance):
     ).reshape(nb, s, h * step)
     np.testing.assert_array_equal(np.asarray(out)[:, :s], ref)
     np.testing.assert_array_equal(np.asarray(out)[:, s:], 0.0)
+
+
+def test_spd_inverse_newton(synthetic_radiance):
+    """Newton-Schulz inverse on the matched filter's ACTUAL covariance class
+    (diagonally-shrunk radiance covariance): forward error matches the f32
+    Cholesky route, but the residual ||KC - I|| is orders-of-magnitude worse
+    (not backward-stable) — the measured reason it is NOT used for the
+    Woodbury glue's K0 (see the op's docstring)."""
+    x64, _ = synthetic_radiance
+    xm = x64 - x64.mean(axis=1, keepdims=True)
+    c64 = np.einsum("bps,bpt->bst", xm, xm) / x64.shape[1]
+    c64 = (1 - 1e-4) * c64 + 1e-4 * np.eye(c64.shape[-1]) * np.diagonal(
+        c64, axis1=-2, axis2=-1
+    )[:, None, :]
+    truth = np.linalg.inv(c64)
+    cond = np.linalg.cond(c64).max()
+
+    c32 = jnp.asarray(c64.astype(np.float32))
+    k_ns = np.asarray(m.spd_inverse_newton(c32), np.float64)
+    with jax.default_matmul_precision("highest"):
+        k_cho = np.asarray(m._cho_inverse(c32), np.float64)
+
+    def rel(k):
+        return np.abs(k - truth).max() / np.abs(truth).max()
+
+    assert cond < 2**24, cond  # the regime the fixed iteration count covers
+    # Forward (entrywise) accuracy: same error class as the Cholesky route.
+    assert rel(k_ns) <= max(3.0 * rel(k_cho), 1e-5), (rel(k_ns), rel(k_cho))
+
+    def resid(k):
+        return np.abs(k @ c64 - np.eye(c64.shape[-1])).max()
+
+    # Solver-operator quality: Cholesky's K is backward-stable (tiny
+    # residual); Newton-Schulz stalls at the f32 rounding floor ~eps*cond.
+    # If this GAP ever closes, the serving init should switch to the
+    # MXU-native inverse — revisit mag1c_pallas's _cho_inverse call sites.
+    assert resid(k_cho) < 0.05, resid(k_cho)
+    # NS converged (not divergent), but its residual sits orders of
+    # magnitude above Cholesky's — the documented gap is real. If the gap
+    # ever closes, revisit the serving init's _cho_inverse call sites.
+    assert resid(k_ns) < 1e-4 * cond, resid(k_ns)  # ~42 here: converged scale
+    assert resid(k_ns) > 10.0 * resid(k_cho), (resid(k_ns), resid(k_cho))
+
+
+def test_spd_inverse_recursive(synthetic_radiance):
+    """The Schur-recursion inverse (static batched matmuls, no lax.linalg
+    loops) is backward-stable-CLASS on the matched filter's covariance
+    matrices: residual AND forward error within 2x of the Cholesky route,
+    plus identity-embedding correctness for non-power-of-two sizes."""
+    x64, _ = synthetic_radiance
+    xm = x64 - x64.mean(axis=1, keepdims=True)
+    c64 = np.einsum("bps,bpt->bst", xm, xm) / x64.shape[1]
+    c64 = (1 - 1e-4) * c64 + 1e-4 * np.eye(c64.shape[-1]) * np.diagonal(
+        c64, axis1=-2, axis2=-1
+    )[:, None, :]
+    truth = np.linalg.inv(c64)
+
+    c32 = jnp.asarray(c64.astype(np.float32))
+    k_rec = np.asarray(m.spd_inverse_recursive(c32), np.float64)
+    with jax.default_matmul_precision("highest"):
+        k_cho = np.asarray(m._cho_inverse(c32), np.float64)
+
+    def rel(k):
+        return np.abs(k - truth).max() / np.abs(truth).max()
+
+    def resid(k):
+        return np.abs(k @ c64 - np.eye(c64.shape[-1])).max()
+
+    assert rel(k_rec) <= 2.0 * rel(k_cho), (rel(k_rec), rel(k_cho))
+    assert resid(k_rec) <= 2.0 * resid(k_cho), (resid(k_rec), resid(k_cho))
+
+    # Non-power-of-two sizes route through the identity embedding.
+    rng = np.random.default_rng(7)
+    for s in (1, 3, 13, 50):
+        a = rng.normal(size=(2, s, 2 * s + 3))
+        c = a @ np.swapaxes(a, -1, -2) + np.eye(s) * 0.05 * s
+        k = np.asarray(m.spd_inverse_recursive(jnp.asarray(c.astype(np.float32))))
+        np.testing.assert_allclose(k @ c, np.broadcast_to(np.eye(s), c.shape),
+                                   atol=5e-5 * np.linalg.cond(c).max())
