@@ -54,4 +54,15 @@ def enable_persistent_compilation_cache(
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_time_secs)
     )
+    # JAX initializes the persistent cache lazily at the process's FIRST
+    # compile and then pins that decision: if anything compiled before this
+    # call (sitecustomize imports jax at startup here; test suites compile
+    # early), the dir update above is silently ignored. Reset so the next
+    # compile re-reads the config.
+    try:
+        from jax._src import compilation_cache
+
+        compilation_cache.reset_cache()
+    except Exception:  # pragma: no cover — private API; cache stays best-effort
+        pass
     return cache_dir
