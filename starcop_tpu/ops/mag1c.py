@@ -471,6 +471,7 @@ def acrwl1mf(
         "compute_dtype",
         "use_pallas",
         "stream_dtype",
+        "scene_layout",
         "interpret",
     ),
 )
@@ -486,6 +487,7 @@ def mag1c_column_blocks(
     compute_dtype=jnp.float32,
     use_pallas: Optional[bool] = None,
     stream_dtype=None,
+    scene_layout: str = "hws",
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the matched filter over a full scene in uniform column blocks.
@@ -508,6 +510,17 @@ def mag1c_column_blocks(
             streaming passes (default = compute_dtype). ``jnp.bfloat16``
             halves HBM traffic (~15% faster full-scene) at pinned detection
             fidelity (tests/test_mag1c.py bf16 tests).
+        scene_layout: ``"hws"`` (default, reference-compatible (H, W, S)) or
+            ``"shw"`` — the band-major (S, H, W) cube, the serving-native
+            device layout. TPU tiles an array's last two dims to (8, 128);
+            with S ~ 50 bands minor, an hws cube physically inflates 2.56x
+            on device (50 -> 128 lanes) and the fast path pays an extra
+            re-tiling copy of the whole cube (~3 ms/scene of ~11 ms total,
+            measured). Band-major puts spatial dims on the tiles (<1% pad)
+            and the transpose kernel reads the parameter directly — prefer
+            it anywhere the cube is produced on device or uploaded fresh
+            (``emit_granule_to_mask`` does; see
+            ``blocked_transpose_shw``'s rationale).
         interpret: run Pallas kernels in interpreter mode — lets the CPU test
             suite exercise the TPU fast path end to end
             (``use_pallas=True, interpret=True``).
@@ -515,7 +528,13 @@ def mag1c_column_blocks(
     Returns:
         (mf, albedo): (H, W) arrays with ``fill_value`` at invalid pixels.
     """
-    h, w_dim, s = scene.shape
+    if scene_layout not in ("hws", "shw"):
+        raise ValueError(f"scene_layout must be 'hws' or 'shw', got {scene_layout!r}")
+    band_major = scene_layout == "shw"
+    if band_major:
+        s, h, w_dim = scene.shape
+    else:
+        h, w_dim, s = scene.shape
     step = int(column_step) if column_step else w_dim
     nb = -(-w_dim // step)  # ceil div
     pad_w = nb * step - w_dim
@@ -531,7 +550,8 @@ def mag1c_column_blocks(
         valid = jnp.asarray(valid_mask, dtype=bool)
 
     if pad_w:
-        scene = jnp.pad(scene, ((0, 0), (0, pad_w), (0, 0)))
+        wpad = ((0, 0), (0, 0), (0, pad_w)) if band_major else ((0, 0), (0, pad_w), (0, 0))
+        scene = jnp.pad(scene, wpad)
         valid = jnp.pad(valid, ((0, 0), (0, pad_w)))
 
     if use_pallas is None:
@@ -547,12 +567,19 @@ def mag1c_column_blocks(
             _dividing_tile,
             acrwl1mf_fused,
             blocked_transpose,
+            blocked_transpose_shw,
+            blocked_transpose_swh,
         )
 
     tpl = jnp.asarray(template, dtype=compute_dtype)
 
     def unblock(v):
         v = v[..., 0].reshape(nb, h, step).transpose(1, 0, 2).reshape(h, nb * step)
+        return v[:, :w_dim]
+
+    def unblock_j_major(v):
+        # Inverts blocked_transpose_swh's p = j*H + h pixel order.
+        v = v[..., 0].reshape(nb, step, h).transpose(2, 0, 1).reshape(h, nb * step)
         return v[:, :w_dim]
 
     if use_pallas and no_mask:
@@ -577,19 +604,52 @@ def mag1c_column_blocks(
         if resident_ok or fused_ok:
             glue = "resident" if resident_ok else "fused"
             pad_s = sp if resident_ok else None
-            xt = blocked_transpose(scene, nb, step, pad_s=pad_s, interpret=interpret)
-            if xt is None:
-                xt = (
-                    scene.reshape(h, nb, step, s)
-                    .transpose(1, 3, 0, 2)
-                    .reshape(nb, s, h * step)
+            # Preferred shuffle: the swh kernel. XLA stores the hws cube
+            # parameter H-minor (physically (S, W, H)); transposing the view
+            # is a layout bitcast, and the kernel reads it in place — the
+            # default-layout route instead makes XLA materialize a re-tiled
+            # copy of the whole cube before the kernel (~4 ms/EMIT scene).
+            # Its blocks use j-major pixel order, inverted in unblock.
+            xt = None
+            j_major = False
+            swh = (
+                jnp.transpose(scene, (2, 1, 0)) if not band_major
+                else jnp.transpose(scene, (0, 2, 1))
+            )
+            xt = blocked_transpose_swh(swh, nb, step, pad_s=pad_s, interpret=interpret)
+            if xt is not None:
+                j_major = True
+            elif band_major:
+                xt = blocked_transpose_shw(
+                    scene, nb, step, pad_s=pad_s, interpret=interpret
                 )
+                if xt is None:
+                    xt = (
+                        scene.reshape(s, h, nb, step)
+                        .transpose(2, 0, 1, 3)
+                        .reshape(nb, s, h * step)
+                    )
+            else:
+                xt = blocked_transpose(scene, nb, step, pad_s=pad_s, interpret=interpret)
+                if xt is None:
+                    xt = (
+                        scene.reshape(h, nb, step, s)
+                        .transpose(1, 3, 0, 2)
+                        .reshape(nb, s, h * step)
+                    )
             mf, albedo = acrwl1mf_fused(
                 xt, tpl, None, num_iter=num_iter, alpha=alpha,
                 stream_dtype=sdt, x_layout="bsp", glue=glue,
                 interpret=interpret,
             )
-            return unblock(mf), unblock(albedo)
+            ub = unblock_j_major if j_major else unblock
+            return ub(mf), ub(albedo)
+
+    if band_major:
+        # Generic path (mask / width padding / XLA-only): restate as the
+        # reference-compatible (H, W, S) view; correctness path, not the
+        # serving fast path.
+        scene = jnp.transpose(scene, (1, 2, 0))
 
     # (H, nb, step, S) -> (nb, H * step, S): one batch entry per column block.
     xb = scene.reshape(h, nb, step, s).transpose(1, 0, 2, 3).reshape(nb, h * step, s)

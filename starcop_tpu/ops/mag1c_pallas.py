@@ -168,6 +168,294 @@ def blocked_transpose(
     )(scene4)
 
 
+def _blocked_transpose3d_kernel(x_ref, out_ref, *, step, s_out):
+    # x_ref: (Th, W, S) scene slab (the jit parameter read in place) ->
+    # out_ref: (1, S_out, Th*step) rows of column block b = program_id(1).
+    th, _w, s = x_ref.shape
+    b = pl.program_id(1)
+    xb = x_ref[:, pl.ds(b * step, step), :]  # (Th, step, S)
+    x = jnp.transpose(xb.reshape(th * step, s))
+    if s_out != s:
+        x = jnp.concatenate(
+            [x, jnp.zeros((s_out - s, th * step), x.dtype)], axis=0
+        )
+    out_ref[0] = x
+
+
+def blocked_transpose3d(
+    scene: jax.Array, nb: int, step: int, *, pad_s: Optional[int] = None,
+    interpret: bool = False
+) -> Optional[jax.Array]:
+    """(H, nb*step, S) scene -> (nb, S', H*step) streaming layout, reading
+    the 3D scene parameter IN PLACE.
+
+    Same output as :func:`blocked_transpose`, minus that kernel's hidden
+    cost: its (H, nb, step, S) input view makes XLA materialize a re-tiled
+    copy of the whole cube first (reshape + copy, measured ~2.9 ms of the
+    full matched filter's ~11 ms device time on an EMIT-sized scene —
+    the single largest fixed cost). Here the input block is (Th, W, S) —
+    full trailing dims, so the jit parameter streams into VMEM with zero
+    preparatory XLA passes — and each grid step carves its column block
+    with a dynamic sublane slice.
+
+    Grid is (H/Th, nb) with the slab index constant in b, so Mosaic keeps
+    one slab resident across all nb column blocks. Th must divide H with
+    Th*step lane-aligned; W*S VMEM budget bounds Th. Returns None when no
+    such tile exists (caller falls back to :func:`blocked_transpose`).
+    """
+    h, w, s = scene.shape
+    if w != nb * step:
+        raise ValueError("scene width must equal nb*step")
+    s_out = s if pad_s is None else int(pad_s)
+    if s_out < s:
+        raise ValueError("pad_s must be >= the scene band count")
+    # Slab VMEM cost uses the PHYSICAL tile-padded extents ((8, 128) on the
+    # trailing (W, S) dims — S ~ 50 bands pads to 128 lanes), double-buffered.
+    w_pad = -(-w // 8) * 8
+    s_pad = -(-s // 128) * 128
+    budget = 45 * 1024 * 1024
+    tile_h = None
+    for th in range(min(h, 512), 0, -1):
+        if h % th:
+            continue
+        if th * w_pad * s_pad * 4 > budget:
+            continue
+        if (th * step) % 128 == 0 or th == h:
+            tile_h = th
+            break
+    if tile_h is None:
+        return None
+
+    return pl.pallas_call(
+        functools.partial(_blocked_transpose3d_kernel, step=step, s_out=s_out),
+        grid=(h // tile_h, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (tile_h, w, s), lambda ht, b: (ht, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s_out, tile_h * step), lambda ht, b: (b, 0, ht),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, s_out, h * step), scene.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=h * w * (s_pad + s_out) * 4, transcendentals=0
+        ),
+    )(scene)
+
+
+def _blocked_transpose_swh_kernel(
+    x_any, out_ref, xbuf, sems, *, nb, step, s, ext, off_max, prefetch
+):
+    # x_any: (S, W, H) cube in HBM; out_ref block: (1, S_out, step*H) for
+    # column block b with pixel order p = j*H + h (j-major). The slab DMA
+    # is double-buffered across grid steps like the resident kernel's.
+    # DMA sublane offsets must be provably 8-aligned, so each window is
+    # aligned DOWN and widened to ``ext`` = ceil8(step) + 8 rows (the
+    # trailing window then ends exactly at the tile-padded physical row
+    # count, never past it); the residual 0..7-row shift is undone with a
+    # dynamic sublane roll before assembly.
+    b = pl.program_id(0)
+
+    def _off8(i):
+        # Written as (...) * 8 so Mosaic's divisibility prover accepts the
+        # DMA's sublane offset (min/floordiv alone defeat the proof).
+        return jnp.minimum((i * step) // 8, off_max // 8) * 8
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(
+            x_any.at[:, pl.ds(_off8(i), ext), :], xbuf.at[slot], sems.at[slot]
+        )
+
+    if prefetch:
+        @pl.when(b == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(b + 1 < nb)
+        def _():
+            dma(jax.lax.rem(b + 1, 2), b + 1).start()
+
+        slot = jax.lax.rem(b, 2)
+        dma(slot, b).wait()
+    else:
+        slot = 0
+        dma(0, b).start()
+        dma(0, b).wait()
+
+    h = x_any.shape[2]
+    s_out = out_ref.shape[1]
+    if s_out != s:
+        out_ref[0, s:, :] = jnp.zeros((s_out - s, step * h), out_ref.dtype)
+
+    shift = b * step - _off8(b)
+    xr = pltpu.roll(xbuf[slot], -shift, 1)
+    # Assemble (S, step*H): lane runs j*H..(j+1)*H are 128-aligned
+    # whole-vreg writes (H % 128 == 0 enforced by the wrapper), so each j
+    # is a clean sublane-extract + store.
+    for j in range(step):
+        out_ref[0, :s, j * h:(j + 1) * h] = xr[:, j, :]
+
+
+def blocked_transpose_swh(
+    scene_swh: jax.Array, nb: int, step: int, *, pad_s: Optional[int] = None,
+    interpret: bool = False
+) -> Optional[jax.Array]:
+    """(S, W, H) cube -> (nb, S', step*H) column-block streaming layout with
+    pixel order p = j*H + h (j-major within the block).
+
+    Why this input: XLA stores an (H, W, S) radiance cube parameter with an
+    H-minor layout — physically an (S, W, H) array — because S ~ 50 bands
+    on the lane axis would tile-pad 50 -> 128 (2.56x). Pallas custom calls
+    however require default (major-to-minor) layouts, so feeding the hws
+    cube to a kernel makes XLA materialize a full re-tiled copy first
+    (measured ~4 ms per EMIT-sized scene, the single largest fixed cost of
+    the matched filter). ``jnp.transpose(scene, (2, 1, 0))`` of that
+    parameter is a layout BITCAST — this kernel consumes it for free.
+
+    The downstream filter kernels are permutation-invariant over a block's
+    pixel axis, so the j-major order costs nothing; only the caller's
+    un-blocking step must invert it (p = j*H + h: reshape (nb, step, H),
+    transpose). Per block the slab DMA is (S, step, H) — whole (8, 128)
+    tiles of the source — and each j emits an aligned (S, H) store, so the
+    shuffle never touches a misaligned lane boundary. Requires H % 128 == 0
+    (else returns None and the caller falls back).
+    """
+    s, w, h = scene_swh.shape
+    if w != nb * step:
+        raise ValueError("scene width must equal nb*step")
+    s_out = s if pad_s is None else int(pad_s)
+    if s_out < s:
+        raise ValueError("pad_s must be >= the scene band count")
+    if h % 128:
+        return None
+    # DMA sublane offsets must be provably 8-aligned: windows align down
+    # (residual shift <= 7 undone by an in-kernel roll) and widen to cover
+    # step + shift rows. Interpret mode has no physical tile padding, so
+    # windows clamp to the logical row count there (shift <= ext - step,
+    # which the widened ext covers in both regimes).
+    ext = step if step % 8 == 0 else (-(-step // 8) * 8 + 8)
+    w_phys = w if interpret else -(-w // 8) * 8
+    off_max = w_phys - ext
+    if off_max < 0:
+        return None
+    slab = s * ext * h * 4
+    out_blk = s_out * step * h * 4
+    if 2 * (slab + out_blk) > 100 * 1024 * 1024:
+        return None
+
+    return pl.pallas_call(
+        functools.partial(
+            _blocked_transpose_swh_kernel,
+            nb=nb, step=step, s=s, ext=ext, off_max=off_max,
+            prefetch=not interpret,
+        ),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, s_out, step * h), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, s_out, h * step), scene_swh.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, s, ext, h), scene_swh.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=h * w * (s + s_out) * 4, transcendentals=0
+        ),
+    )(scene_swh)
+
+
+def _blocked_transpose_shw_kernel(x_ref, out_ref, *, nb, step, s_out):
+    # x_ref: (S, Th, W) band-major slab -> out_ref: (nb, S_out, Th*step),
+    # out[b, s, r*step + j] = x[s, r, b*step + j]; band rows >= S zero.
+    s, th, _w = x_ref.shape
+    x = x_ref[...]
+    for b in range(nb):
+        xb = x[:, :, b * step:(b + 1) * step].reshape(s, th * step)
+        if s_out != s:
+            xb = jnp.concatenate(
+                [xb, jnp.zeros((s_out - s, th * step), xb.dtype)], axis=0
+            )
+        out_ref[b] = xb
+
+
+def blocked_transpose_shw(
+    scene_shw: jax.Array, nb: int, step: int, *, pad_s: Optional[int] = None,
+    interpret: bool = False
+) -> Optional[jax.Array]:
+    """(S, H, nb*step) band-major scene -> (nb, S', H*step) streaming layout
+    (same output as :func:`blocked_transpose`, from the band-major cube).
+
+    Why band-major input is the serving-native layout: an (H, W, S) cube
+    puts S ~ 50 bands on the lane axis, which TPU tiles to 128 lanes — the
+    device array physically inflates 2.56x and every consumer pays that in
+    DMA traffic (measured: XLA additionally materializes a re-tiled copy of
+    the whole cube before the hws transpose kernel, ~2.9 ms of the full
+    matched filter's ~11 ms device time). Band-major (S, H, W) tiles
+    (H, W) instead — sub-1% padding — so this kernel reads the parameter
+    directly with zero preparatory XLA passes.
+
+    Grid is over row tiles; each step reads a full-width (S, Th, W) slab
+    (Mosaic-legal: leading dim untiled, W full) and emits every column
+    block's (S', Th*step) rows. Th must divide H with Th*step lane-aligned;
+    returns None when no such tile exists (caller falls back to XLA).
+    """
+    s, h, w = scene_shw.shape
+    if w != nb * step:
+        raise ValueError("scene width must equal nb*step")
+    s_out = s if pad_s is None else int(pad_s)
+    if s_out < s:
+        raise ValueError("pad_s must be >= the scene band count")
+    # VMEM: double-buffered input slab (lane-padded W) + output block.
+    w_pad = -(-w // 128) * 128
+    budget = 40 * 1024 * 1024
+    tile_h = None
+    for th in range(min(h, 512), 0, -1):
+        if h % th:
+            continue
+        if s * th * w_pad * 4 > budget:
+            continue
+        if (th * step) % 128 == 0 or th == h:
+            tile_h = th
+            break
+    if tile_h is None:
+        return None
+
+    return pl.pallas_call(
+        functools.partial(
+            _blocked_transpose_shw_kernel, nb=nb, step=step, s_out=s_out
+        ),
+        grid=(h // tile_h,),
+        in_specs=[
+            pl.BlockSpec(
+                (s, tile_h, w), lambda ht: (0, ht, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, s_out, tile_h * step), lambda ht: (0, 0, ht),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, s_out, h * step), scene_shw.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=h * w * (s + s_out) * 4, transcendentals=0
+        ),
+    )(scene_shw)
+
+
 def _fused_iter_kernel(
     first_ref,   # SMEM (1, 1) int32: 1 -> pass mf through (init iteration)
     x_ref,       # (1, S, T) radiance tile (transposed layout)

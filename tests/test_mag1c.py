@@ -507,6 +507,74 @@ def test_blocked_transpose_pad_s(synthetic_radiance):
     np.testing.assert_array_equal(np.asarray(out)[:, s:], 0.0)
 
 
+def test_blocked_transpose_shw_matches_hws():
+    """Band-major (S, H, W) shuffle == the hws kernel/XLA expression, with
+    and without band padding (the serving-native layout: lanes carry W, so
+    the cube parameter avoids the 50->128 lane inflation the hws layout
+    pays — see blocked_transpose_shw's rationale)."""
+    from starcop_tpu.ops.mag1c_pallas import blocked_transpose_shw
+
+    rng = np.random.default_rng(7)
+    for h, nb, step, s, pad_s in (
+        (64, 3, 18, 7, None),    # tile < H
+        (64, 2, 54, 50, 56),     # serving geometry class, band-padded
+        (96, 4, 16, 24, None),
+    ):
+        x = rng.normal(size=(h, nb * step, s)).astype(np.float32)
+        xs = np.ascontiguousarray(x.transpose(2, 0, 1))
+        want = x.reshape(h, nb, step, s).transpose(1, 3, 0, 2).reshape(nb, s, h * step)
+        got = blocked_transpose_shw(jnp.asarray(xs), nb, step, pad_s=pad_s, interpret=True)
+        assert got is not None
+        got = np.asarray(got)
+        np.testing.assert_array_equal(got[:, :s], want)
+        if pad_s:
+            assert got.shape[1] == pad_s
+            np.testing.assert_array_equal(got[:, s:], 0.0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="width"):
+        blocked_transpose_shw(jnp.zeros((4, 8, 10), jnp.float32), 3, 4, interpret=True)
+
+
+def test_column_blocks_scene_layout_shw_parity():
+    """mag1c_column_blocks(scene_layout='shw') == the hws path, on the
+    Pallas serving fast path AND the generic (masked / width-padded / XLA)
+    fallbacks — the band-major cube is a layout contract, not a different
+    algorithm."""
+    rng = np.random.default_rng(11)
+    h, w, s = 64, 36, 12
+    template = -np.abs(np.sin(np.linspace(0.3, 3 * np.pi, s)))
+    base = rng.uniform(2.0, 6.0, size=(1, 1, s))
+    x = rng.uniform(0.5, 2.0, (h, w, 1)) * base * (1 + 0.02 * rng.normal(size=(h, w, s)))
+    conc = np.zeros((h, w))
+    conc[10:20, 4:12] = rng.uniform(1000, 6000, size=(10, 8))
+    x = x * np.exp(conc[..., None] * template[None, None, :] / 1e5)
+    xd = jnp.asarray(x, jnp.float32)
+    xs = jnp.asarray(np.ascontiguousarray(x.transpose(2, 0, 1)), jnp.float32)
+    tpl = jnp.asarray(template, jnp.float32)
+
+    # Serving fast path (no mask, lane-aligned step).
+    kw = dict(column_step=18, num_iter=4, alpha=1e-4, use_pallas=True, interpret=True)
+    mf_h, alb_h = m.mag1c_column_blocks(xd, tpl, None, **kw)
+    mf_s, alb_s = m.mag1c_column_blocks(xs, tpl, None, scene_layout="shw", **kw)
+    np.testing.assert_array_equal(np.asarray(mf_s), np.asarray(mf_h))
+    np.testing.assert_array_equal(np.asarray(alb_s), np.asarray(alb_h))
+
+    # Generic fallback: masked + width-padded (step 16 -> pad_w 12).
+    mask = np.ones((h, w), bool)
+    mask[:, -5:] = False
+    kw2 = dict(column_step=16, num_iter=3, alpha=1e-4, use_pallas=False)
+    mf_h2, _ = m.mag1c_column_blocks(xd, tpl, jnp.asarray(mask), **kw2)
+    mf_s2, _ = m.mag1c_column_blocks(xs, tpl, jnp.asarray(mask), scene_layout="shw", **kw2)
+    np.testing.assert_array_equal(np.asarray(mf_s2), np.asarray(mf_h2))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="scene_layout"):
+        m.mag1c_column_blocks(xs, tpl, None, scene_layout="spw")
+
+
 def test_spd_inverse_newton(synthetic_radiance):
     """Newton-Schulz inverse on the matched filter's ACTUAL covariance class
     (diagonally-shrunk radiance covariance): forward error matches the f32
