@@ -1078,6 +1078,17 @@ def _make_mono_calls(b, p, s, ch, cov_scale, alpha, centered, interpret,
 # computes), and runs the rmf init + every reweighting iteration + the
 # Woodbury glue on the resident block. HBM traffic collapses from 31 reads
 # to ONE; the filter becomes VPU/MXU-compute-bound (~2 matvecs/iteration).
+#
+# Negative result (measured, don't retry blindly): holding the block as
+# (d*S, P/d) so the per-iteration mf/r/g rows are (d, P/d) with full sublane
+# tiles — the (1, P) rows below use 1/8 of each f32 tile — LOSES. The
+# projections then ride block-diagonal masked MXU dots, and Mosaic's DEFAULT
+# f32 matmul is a single bf16 pass: truncating m0/cit0 (huge magnitudes,
+# heavy cancellation in the whitened projection) breaks detection outright
+# (mf rel err ~0.9 on-chip; interpret mode hides it). Precision.HIGHEST
+# restores f32 accuracy but costs 6 MXU passes x d-fold redundant MACs:
+# 31 ms full-scene vs 8.7 ms for this d=1 kernel, whose 1-row matvecs lower
+# to full-f32 VPU reductions (benchmarks/micro_mag1c.py decomposes the cost).
 
 
 def _resident_kernel(
