@@ -77,8 +77,10 @@ def main():
     # trip (and block_until_ready returns early), so per-run syncs measure
     # RTT, not device time. Production serving pipelines scenes without
     # per-scene syncs; time N back-to-back scenes with ONE host-visible
-    # scalar at the end and report per-scene latency.
-    PIPELINE = 8
+    # scalar at the end and report per-scene latency. Depth 32 leaves <1 ms
+    # of amortized RTT in the per-scene number (measured sweep: 13.6 / 10.5 /
+    # 9.1 / 8.3 / 8.0 ms at depth 4 / 8 / 16 / 32 / 64 — pure RTT/depth).
+    PIPELINE = 32
     t0 = time.time()
     mf, _alb = jitted(x, tpl, None)
     _ = float(jnp.sum(mf))

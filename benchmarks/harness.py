@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 
-def _timed(fn, repeats=3, pipeline=8):
+def _timed(fn, repeats=3, pipeline=32):
     """Per-run seconds, pipelined: enqueue ``pipeline`` dependent executions
     and force ONE host-visible scalar at the end.
 
@@ -73,8 +73,13 @@ def collect(quick: bool = False, deadline_ts: float = None):
     args = _Args()
     args.quick = quick
 
+    t_start = time.time()
+
     def past_deadline():
-        return deadline_ts is not None and time.time() > deadline_ts
+        late = deadline_ts is not None and time.time() > deadline_ts
+        if late:
+            print(f"[harness] deadline hit at +{time.time() - t_start:.0f}s", file=_sys.stderr)
+        return late
 
     import jax
     import jax.numpy as jnp
@@ -84,7 +89,11 @@ def collect(quick: bool = False, deadline_ts: float = None):
 
     results = []
 
+    def _mark(name):
+        print(f"[harness] {name} at +{time.time() - t_start:.0f}s", file=_sys.stderr)
+
     # ---- eval tiles/sec: 512x512 batched forward --------------------------
+    _mark("eval")
     model = SegmentationModel(
         ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
         model_type="unet_semseg",
@@ -92,7 +101,8 @@ def collect(quick: bool = False, deadline_ts: float = None):
     rng = np.random.default_rng(0)
     batch_eval = 4 if args.quick else 8
     x_eval = jnp.asarray(rng.uniform(0, 100, (batch_eval, 4, 512, 512)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x_eval[:1])
+    # jit(init): eager init is ~600 tiny dispatches = ~2 min over the tunnel.
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x_eval[:1])
 
     fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
@@ -117,6 +127,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
         results.append({"metric": "eval_tiles_per_sec_b32", "value": round(32 / t, 2), "unit": "tiles/s"})
 
     # ---- raw granule -> plume mask, end to end (mag1c + renorm + U-Net) ---
+    _mark("granule")
     if past_deadline():
         return results
     from starcop_tpu.data.emit import renormalize_emit_to_aviris
@@ -150,6 +161,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
     results.append({"metric": "emit_granule_to_mask_ms", "value": round(t * 1e3, 1), "unit": "ms"})
 
     # ---- train steps/sec: batch 32 @ 128x128 ------------------------------
+    _mark("train_f32")
     if past_deadline():
         return results
     bsz = 8 if args.quick else 32
@@ -175,6 +187,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
                     "unit": f"steps/s (batch {bsz})"})
 
     # ---- bf16 training steps/sec (the repo's best training config) --------
+    _mark("train_bf16")
     if past_deadline():
         return results
     model_bf16 = SegmentationModel(
@@ -196,6 +209,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
                     "unit": f"steps/s (batch {bsz})"})
 
     # ---- full-scene matched filter, bf16 streaming (best mag1c config) ----
+    _mark("mag1c_bf16")
     if past_deadline():
         return results
     import functools
@@ -217,6 +231,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
     results.append({"metric": "full_scene_mag1c_bf16_ms", "value": round(t * 1e3, 1), "unit": "ms"})
 
     # ---- steady-state serving throughput (pipeline overlap, N granules) ---
+    _mark("serve")
     if past_deadline():
         return results
     try:
@@ -226,6 +241,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
         print(f"serve bench skipped: {e}", file=_sys.stderr)
 
     # ---- whole-scene forward ----------------------------------------------
+    _mark("scene_fwd")
     if past_deadline():
         return results
     from starcop_tpu.ops.padding import padded_apply
