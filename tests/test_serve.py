@@ -185,3 +185,78 @@ def test_emit_serving_pipeline_multichip(tmp_path):
     a, _ = read_geotiff(str(out_multi / name / "prediction.tif"))
     b, _ = read_geotiff(str(out_single / name / "prediction.tif"))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_narrow_upload_detection(tmp_path):
+    """Halved-byte upload codecs vs the f32 upload, each at its documented
+    contract (serve/pipeline.py docstring):
+
+    * u16 (per-band affine quantization, ~1e-4 relative error): the SAME
+      strict detection-equivalence contract as the pinned bf16-stream tests.
+    * bf16 (plain rounding, ~0.4% relative): >=98.5% threshold-mask
+      agreement — borderline background pixels near the threshold can be
+      unpinned by the L1 regularizer (measured ~1%), which is why u16 is
+      the recommended codec.
+    """
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+    from tests.test_mag1c import assert_bf16_detection_equivalent
+
+    # One plume-bearing granule whose SWIR window carries a REAL template
+    # signal (so the matched filter produces decisive detections to compare).
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    swir = (wl >= 2122) & (wl <= 2488)
+    template = generate_template_from_bands(wl[swir], np.full_like(wl[swir], 8.5))[:, 1]
+    scene = synthetic_scene(np.random.default_rng(3), 96, 64, n_plumes=2,
+                            template=template)
+    cube = np.random.default_rng(9).uniform(
+        1, 8, size=(96, 64, len(wl))
+    ).astype(np.float32)
+    cube[..., swir] = scene["radiance"]
+    cube[:2, :2, :] = -9999.0  # fill-marked corner: validity must survive narrowing
+    path = tmp_path / "EMIT_up_0.nc"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    outs = {}
+    for tag, up in (("f32", None), ("u16", jnp.uint16), ("bf16", jnp.bfloat16)):
+        out_dir = tmp_path / tag
+        pipeline = emit_serving_pipeline(
+            apply_fn, str(out_dir), column_step=16, num_iter=5, upload_dtype=up
+        )
+        (res,) = pipeline.run([str(path)])
+        assert res.error is None
+        # fill-marked corner stays NODATA under every codec
+        assert np.all(res.outputs["mag1c"][:2, :2] == -9999.0)
+        outs[tag] = res.outputs["mag1c"].ravel()
+
+    a = outs["f32"]
+    assert (a > 1000).sum() > 50  # the scene carries decisive detections
+
+    # u16: strict contract (identical decisive masks, tight relative error)
+    assert_bf16_detection_equivalent(a, outs["u16"])
+    big = a > 1000
+    rel = np.abs(outs["u16"][big] - a[big]) / a[big]
+    assert np.median(rel) < 2e-3  # ~30x tighter than the bf16 allowance
+
+    # bf16: documented weaker contract
+    thr = 500.0
+    agree = ((a > thr) == (outs["bf16"] > thr)).mean()
+    assert agree >= 0.985
