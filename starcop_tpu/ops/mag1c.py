@@ -566,6 +566,7 @@ def mag1c_column_blocks(
             DEFAULT_TILE_P,
             _dividing_tile,
             acrwl1mf_fused,
+            acrwl1mf_resident_swh,
             blocked_transpose,
             blocked_transpose_shw,
             blocked_transpose_swh,
@@ -616,6 +617,17 @@ def mag1c_column_blocks(
                 jnp.transpose(scene, (2, 1, 0)) if not band_major
                 else jnp.transpose(scene, (0, 2, 1))
             )
+            if glue == "resident" and sdt == jnp.float32:
+                # Strongest path: the whole filter straight off the swh cube
+                # (TWO HBM reads total, no blocked copy ever written — see
+                # acrwl1mf_resident_swh). Falls through to the transpose +
+                # bsp route when the slab geometry doesn't fit.
+                out = acrwl1mf_resident_swh(
+                    swh, tpl, nb, step, num_iter=num_iter, alpha=alpha,
+                    interpret=interpret,
+                )
+                if out is not None:
+                    return unblock_j_major(out[0]), unblock_j_major(out[1])
             xt = blocked_transpose_swh(swh, nb, step, pad_s=pad_s, interpret=interpret)
             if xt is not None:
                 j_major = True

@@ -54,9 +54,9 @@ from starcop_tpu.ops.mag1c import (
     EPSILON,
     SCALING,
     _shrink_diag,
-    _cho_inverse,
     _cho_solve_vec,
     _weighted_mean,
+    spd_inverse_recursive,
 )
 
 # Largest pixel tile that fits VMEM comfortably (x tile + row buffers,
@@ -1129,13 +1129,7 @@ def _resident_kernel(
         dma(0, bb).start()
         dma(0, bb).wait()
 
-    k0 = const_ref[0, :, :s]
     m0 = const_ref[0, :, s:s + 1]
-    nin = const_ref[0, 0, s + 1]
-    tmpl = tmpl_ref[0]
-    target0 = carry_ref[0, :, 1:2]
-    cit0 = carry_ref[0, :, 2:3]
-    norm0 = carry_ref[0, 0, 3]
 
     # bf16 here is a STORAGE format only (halves the one DMA-in): the block
     # converts to f32 once in VMEM and every dot runs f32. Unlike the
@@ -1145,6 +1139,27 @@ def _resident_kernel(
     xc = xbuf[slot].astype(jnp.float32)
     if not (centered or bf16_dots):
         xc = xc - m0
+
+    _resident_filter_body(
+        xc, carry_ref, const_ref, tmpl_ref, mf_out_ref, r_out_ref,
+        s=s, num_iter=num_iter, cov_scale=cov_scale, alpha=alpha,
+    )
+
+
+def _resident_filter_body(
+    xc, carry_ref, const_ref, tmpl_ref, mf_out_ref, r_out_ref,
+    *, s, num_iter, cov_scale, alpha,
+):
+    """The whole matched filter on a CENTERED f32 (S, P) block already in
+    VMEM: rmf init + every reweighting iteration + the Woodbury glue. Shared
+    by the bsp resident kernel and the direct-swh resident kernel."""
+    k0 = const_ref[0, :, :s]
+    m0 = const_ref[0, :, s:s + 1]
+    nin = const_ref[0, 0, s + 1]
+    tmpl = tmpl_ref[0]
+    target0 = carry_ref[0, :, 1:2]
+    cit0 = carry_ref[0, :, 2:3]
+    norm0 = carry_ref[0, 0, 3]
 
     def mx(lhs_col, shift=None):
         """proj row: (S, 1) carry vector against the resident block."""
@@ -1303,6 +1318,260 @@ def _make_resident_call(b, p, s, num_iter, cov_scale, alpha, centered,
     )
 
 
+# ---------------------------------------------------------------------------
+# Direct-swh serving path: the WHOLE filter straight off the (S, W, H)
+# native-layout cube — the blocked-transpose shuffle never runs
+# ---------------------------------------------------------------------------
+#
+# Why: the resident path above still pays three HBM touches of the cube
+# before any filtering happens — the blocked-transpose kernel's read + write
+# (~0.9 ms of pure DMA for an EMIT-sized scene) and the init-statistics
+# kernel's read of the blocked copy — because its kernels consume the
+# (B, S, P) blocked layout. But both kernels only ever need ONE column block
+# in VMEM at a time, and a block is reachable directly from the (S, W, H)
+# cube (the hws parameter's device layout — a transpose of it is a layout
+# bitcast, see blocked_transpose_swh) with the same slab DMA + sublane roll
+# the transpose kernel uses. These kernels do exactly that: assemble the
+# (S, P) block in VMEM from the slab, then run init statistics / the whole
+# resident filter on it. HBM traffic for the full matched filter drops to
+# TWO reads of the cube (init + filter) with no blocked copy ever written.
+
+
+def _swh_block_fetch(x_any, xslab, sems, *, step, ext, off_max, nb, prefetch):
+    """DMA the (S, ext, H) slab covering column block ``program_id(0)`` of
+    the (S, W, H) cube and return it rolled so rows ``0..step-1`` are the
+    block's columns (same alignment scheme as the swh transpose kernel:
+    sublane offsets align down to 8, the residual shift is undone by a
+    roll; double-buffered across grid steps)."""
+    bb = pl.program_id(0)
+
+    def _off8(i):
+        # (...) * 8 keeps Mosaic's divisibility prover happy (see the swh
+        # transpose kernel).
+        return jnp.minimum((i * step) // 8, off_max // 8) * 8
+
+    def dma(slot, i):
+        return pltpu.make_async_copy(
+            x_any.at[:, pl.ds(_off8(i), ext), :], xslab.at[slot], sems.at[slot]
+        )
+
+    if prefetch:
+        @pl.when(bb == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(bb + 1 < nb)
+        def _():
+            dma(jax.lax.rem(bb + 1, 2), bb + 1).start()
+
+        slot = jax.lax.rem(bb, 2)
+        dma(slot, bb).wait()
+    else:
+        slot = 0
+        dma(0, bb).start()
+        dma(0, bb).wait()
+
+    shift = bb * step - _off8(bb)
+    return pltpu.roll(xslab[slot], -shift, 1)
+
+
+def _init_stats_swh_kernel(
+    x_any, m0_out, c0_out, xslab, xasm, sems,
+    *, nb, step, ext, off_max, inv_n, prefetch,
+):
+    """One-read init statistics DIRECTLY from the (S, W, H) cube: per-block
+    mean + centered covariance, with the assembled (S, P) block living only
+    in VMEM (the bsp variant ``_init_stats_kernel`` reads a blocked HBM copy
+    that a transpose kernel had to write first)."""
+    xr = _swh_block_fetch(
+        x_any, xslab, sems, step=step, ext=ext, off_max=off_max, nb=nb,
+        prefetch=prefetch,
+    )
+    h = x_any.shape[2]
+    for j in range(step):
+        xasm[:, j * h:(j + 1) * h] = xr[:, j, :]
+    x = xasm[...]
+    m0 = jnp.sum(x, axis=1, keepdims=True) * inv_n  # (S, 1)
+    xc = x - m0
+    # Precision.HIGHEST: c0 seeds the once-inverted Woodbury base (see the
+    # bsp init kernel's rationale).
+    c0 = jax.lax.dot_general(
+        xc, xc, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ) * inv_n
+    m0_out[0] = m0
+    c0_out[0] = c0
+
+
+def _resident_swh_kernel(
+    x_any, carry_ref, const_ref, tmpl_ref,
+    mf_out_ref, r_out_ref,
+    xslab, xasm, sems,
+    *, s, sp, nb, step, ext, off_max, num_iter, cov_scale, alpha, prefetch,
+):
+    """VMEM-resident whole-filter kernel fed DIRECTLY from the (S, W, H)
+    cube: fetch the slab, assemble the (S_pad, P) block in VMEM (band rows
+    >= s zeroed), center via m0, and run the shared filter body."""
+    xr = _swh_block_fetch(
+        x_any, xslab, sems, step=step, ext=ext, off_max=off_max, nb=nb,
+        prefetch=prefetch,
+    )
+    h = x_any.shape[2]
+    if sp != s:
+        xasm[s:, :] = jnp.zeros((sp - s, xasm.shape[1]), xasm.dtype)
+    for j in range(step):
+        xasm[:s, j * h:(j + 1) * h] = xr[:, j, :]
+    m0 = const_ref[0, :, sp:sp + 1]  # padded rows are 0: pad stays inert
+    xc = xasm[...] - m0
+    _resident_filter_body(
+        xc, carry_ref, const_ref, tmpl_ref, mf_out_ref, r_out_ref,
+        s=sp, num_iter=num_iter, cov_scale=cov_scale, alpha=alpha,
+    )
+
+
+def _swh_geometry(step, w, interpret):
+    """(ext, off_max) for the aligned-slab DMA scheme, or None when the
+    widened window cannot fit the (physical) width."""
+    ext = step if step % 8 == 0 else (-(-step // 8) * 8 + 8)
+    w_phys = w if interpret else -(-w // 8) * 8
+    off_max = w_phys - ext
+    return (ext, off_max) if off_max >= 0 else None
+
+
+def acrwl1mf_resident_swh(
+    scene_swh: jax.Array,
+    template: jax.Array,
+    nb: int,
+    step: int,
+    *,
+    num_iter: int = 30,
+    alpha: float = 0.0,
+    covariance_update_scaling: float = 1.0,
+    interpret: bool = False,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Full matched filter straight off the (S, W, H) native-layout cube.
+
+    TWO HBM reads of the cube total (init statistics + the resident filter)
+    and zero writes of any intermediate cube copy — the blocked-transpose
+    shuffle of the older serving path never runs. Returns ``(mf, albedo)``
+    as (nb, P, 1) column-block rows in j-major pixel order (p = j*H + h,
+    inverted by ``mag1c_column_blocks``' unblock), or None when the
+    geometry doesn't fit (H % 128, slab alignment, VMEM budget) and the
+    caller must fall back to the transpose + bsp route.
+    """
+    s, w, h = scene_swh.shape
+    if w != nb * step:
+        raise ValueError("scene width must equal nb*step")
+    if h % 128:
+        return None
+    geo = _swh_geometry(step, w, interpret)
+    if geo is None:
+        return None
+    ext, off_max = geo
+    sp = -(-s // 8) * 8
+    p = step * h
+    # VMEM bound (resident kernel): double-buffered slab + assembled block
+    # + its centered copy; the init kernel's footprint is strictly smaller.
+    if (2 * s * ext * h + 2 * sp * p) * 4 > 100 * 1024 * 1024:
+        return None
+
+    x = jnp.asarray(scene_swh, jnp.float32)
+    template = jnp.asarray(template, jnp.float32)
+    m0, c0 = pl.pallas_call(
+        functools.partial(
+            _init_stats_swh_kernel,
+            nb=nb, step=step, ext=ext, off_max=off_max, inv_n=1.0 / p,
+            prefetch=not interpret,
+        ),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, s, 1), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, s), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, s, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, s, ext, h), jnp.float32),
+            pltpu.VMEM((s, p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * p * s * (s + 1),
+            bytes_accessed=nb * p * s * 4,
+            transcendentals=0,
+        ),
+    )(x)
+
+    # Same XLA glue as the bsp resident branch (tiny (nb, S, S) batch).
+    c0s = _shrink_diag(c0, alpha)
+    k0s = spd_inverse_recursive(c0s)
+    tgt0 = template[None, :] * m0[:, :, 0]
+    cit0 = _k0_solve_refined(k0s, c0s, tgt0)
+    norm0 = jnp.einsum("bs,bs->b", tgt0, cit0)
+    pad_s = sp - s
+    k0p = jnp.pad(k0s, ((0, 0), (0, pad_s), (0, pad_s)))
+    m0p = jnp.pad(m0, ((0, 0), (0, pad_s), (0, 0)))
+    tgt0p = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
+    cit0p = jnp.pad(cit0, ((0, 0), (0, pad_s)))
+    tpl_p = jnp.pad(template, (0, pad_s))
+    nin_col = jnp.zeros((nb, sp, 1), jnp.float32).at[:, 0, 0].set(1.0 / p)
+    const = jnp.concatenate([k0p, m0p, nin_col], axis=2)
+    carry0 = jnp.concatenate(
+        [
+            jnp.zeros((nb, sp, 1), jnp.float32),
+            tgt0p[:, :, None],
+            cit0p[:, :, None],
+            jnp.broadcast_to(norm0[:, None, None], (nb, sp, 1)),
+        ],
+        axis=2,
+    )
+
+    row = lambda: pl.BlockSpec((1, 1, p), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
+    mf_row, r_row = pl.pallas_call(
+        functools.partial(
+            _resident_swh_kernel,
+            s=s, sp=sp, nb=nb, step=step, ext=ext, off_max=off_max,
+            num_iter=num_iter, cov_scale=covariance_update_scaling,
+            alpha=alpha, prefetch=not interpret,
+        ),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, sp, 4), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, sp + 2), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, 1), lambda bb: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row(), row()],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, s, ext, h), jnp.float32),
+            pltpu.VMEM((sp, p), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * p * sp * 3 * num_iter,
+            bytes_accessed=nb * p * s * 4,
+            transcendentals=0,
+        ),
+    )(x, carry0, const, tpl_p[None, :, None])
+    return (mf_row[:, 0, :, None] * SCALING), r_row[:, 0, :, None]
+
+
 def _make_round_calls(b, p, s, tile_p, cov_scale, alpha, interpret,
                       has_w=True, center=False, bf16_dots=False):
     if bf16_dots and center:
@@ -1445,9 +1714,13 @@ def acrwl1mf_fused(
             xsp = x if s_in == sp else jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
             m0p, c0p = _make_init_stats_call(b, p0, sp, 1.0 / p0, interpret)(xsp)
             c0s = _shrink_diag(c0p[:, :s, :s], alpha)
-            with jax.default_matmul_precision("highest"):
-                k0s = _cho_inverse(c0s)
-            k0s = 0.5 * (k0s + jnp.swapaxes(k0s, 1, 2))
+            # Schur-recursion inverse (static batched matmuls): lax.linalg's
+            # Cholesky + two triangular solves lower to ~S-step sequential
+            # loops — a dominant fixed cost of the resident filter's init
+            # (see spd_inverse_recursive's rationale); residual pinned within
+            # 2x of the Cholesky route, and _k0_solve_refined's refinement
+            # step restores direct-solve accuracy for cit0 either way.
+            k0s = spd_inverse_recursive(c0s)
             tgt0 = template[None, :] * m0p[:, :s, 0]
             cit0 = _k0_solve_refined(k0s, c0s, tgt0)
             norm0 = jnp.einsum("bs,bs->b", tgt0, cit0)
@@ -1594,12 +1867,12 @@ def acrwl1mf_fused(
         # Every Woodbury-family glue needs the once-inverted base K0 anyway;
         # deriving cit0 from it instead of a second Cholesky solve removes a
         # whole batched factorization (~1.5 ms at B=23, S=50) from the init
-        # path. default_matmul_precision("highest"): the factorization/solve
-        # lowering contains internal matmuls that TPU otherwise runs as bf16
-        # passes; K0's error persists across all iterations.
-        with jax.default_matmul_precision("highest"):
-            k0 = _cho_inverse(c0)
-        k0 = 0.5 * (k0 + jnp.swapaxes(k0, 1, 2))  # keep symmetric in f32
+        # path. Schur-recursion inverse: static batched HIGHEST-precision
+        # matmuls instead of lax.linalg's ~S-step sequential triangular
+        # loops (see spd_inverse_recursive's rationale; residual pinned
+        # within 2x of the Cholesky route, and _k0_solve_refined restores
+        # direct-solve accuracy for cit0).
+        k0 = spd_inverse_recursive(c0)
         cit0_vec = _k0_solve_refined(k0, c0, tgt0)
     norm0 = jnp.einsum("bs,bs->b", tgt0, cit0_vec)  # (B,) unclamped (rmf init)
 

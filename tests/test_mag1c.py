@@ -319,6 +319,73 @@ def test_column_blocks_pallas_fast_path_matches_xla():
     np.testing.assert_allclose(np.asarray(alb_p), np.asarray(alb_x), rtol=1e-4)
 
 
+def test_resident_swh_direct_matches_xla():
+    """The direct-swh serving path (whole filter straight off the (S, W, H)
+    native-layout cube — no blocked-transpose shuffle ever runs, see
+    acrwl1mf_resident_swh) must agree with the transpose + bsp resident
+    route on identical blocks, and the integrated mag1c_column_blocks
+    composition (which prefers it when H % 128 == 0) must still match the
+    plain XLA path end to end."""
+    from starcop_tpu.ops.mag1c_pallas import (
+        acrwl1mf_fused,
+        acrwl1mf_resident_swh,
+        blocked_transpose_swh,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w, s = 128, 48, 12
+    nb, step = 3, 16
+    template = -np.abs(np.sin(np.linspace(0.3, 3 * np.pi, s)))
+    base = rng.uniform(2.0, 6.0, size=(1, 1, s))
+    x = rng.uniform(0.5, 2.0, (h, w, 1)) * base * (
+        1 + 0.02 * rng.normal(size=(h, w, s))
+    )
+    conc = np.zeros((h, w))
+    conc[40:80, 10:30] = rng.uniform(1000, 6000, size=(40, 20))
+    x = x * np.exp(conc[..., None] * template[None, None, :] / 1e5)
+    xd = jnp.asarray(x, jnp.float32)
+    tpl = jnp.asarray(template, jnp.float32)
+
+    # Unit: direct-swh vs the transpose + bsp resident route — the same
+    # math on the same j-major blocks; only the cube's route into VMEM
+    # differs (slab DMA + in-VMEM assembly vs a blocked HBM copy).
+    swh = jnp.transpose(xd, (2, 1, 0))
+    out = acrwl1mf_resident_swh(
+        swh, tpl, nb, step, num_iter=4, alpha=1e-4, interpret=True
+    )
+    assert out is not None
+    sp = -(-s // 8) * 8
+    xt = blocked_transpose_swh(swh, nb, step, pad_s=sp, interpret=True)
+    mf_bsp, alb_bsp = acrwl1mf_fused(
+        xt, tpl, None, num_iter=4, alpha=1e-4,
+        x_layout="bsp", glue="resident", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(mf_bsp), rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(alb_bsp), rtol=1e-5)
+
+    # Geometry guard: H not a multiple of 128 falls back (returns None).
+    assert (
+        acrwl1mf_resident_swh(swh[:, :, :120], tpl, nb, step, interpret=True)
+        is None
+    )
+
+    # Integrated: mag1c_column_blocks prefers the direct path here and must
+    # still match plain XLA.
+    kw = dict(column_step=step, num_iter=4, alpha=1e-4)
+    mf_p, alb_p = m.mag1c_column_blocks(
+        xd, tpl, None, use_pallas=True, interpret=True, **kw
+    )
+    mf_x, alb_x = m.mag1c_column_blocks(xd, tpl, None, use_pallas=False, **kw)
+    assert mf_p.shape == (h, w)
+    a = np.asarray(mf_x).ravel()
+    bb = np.asarray(mf_p).ravel()
+    assert np.corrcoef(a, bb)[0, 1] > 0.9999
+    assert ((a > 500) == (bb > 500)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(alb_p), np.asarray(alb_x), rtol=1e-4)
+
+
 def test_blocked_transpose_matches_xla():
     """Pallas scene->streaming-layout shuffle == the XLA reshape/transpose
     expression, across tile-selection regimes (tile < H, tile == H, and the
