@@ -232,10 +232,12 @@ def spd_inverse_newton(c: jax.Array, *, num_iter: int = 30) -> jax.Array:
     the FORWARD error matches the f32 Cholesky route (~eps * cond), but the
     iteration is not backward-stable — the residual ||KC - I|| stalls at
     ~eps * cond (vs Cholesky's ~eps * sqrt(cond) structure), i.e. K is a
-    good approximation OF the inverse but a poor SOLVER operator. That is
-    why the matched filter's Woodbury glue keeps ``_cho_inverse`` (its K0
+    good approximation OF the inverse but a poor SOLVER operator. The
+    matched filter's Woodbury glue therefore uses ``spd_inverse_recursive``
+    (backward-stable blocked Schur recursion; residual pinned within 2x of
+    Cholesky in the tests) rather than this recurrence — the glue's K0
     feeds iterative refinement and per-iteration rank-2 solves, both of
-    which amplify the residual): wiring this in measurably moved
+    which amplify a residual, and wiring Newton–Schulz in measurably moved
     near-threshold detections. Use it where only entrywise accuracy of the
     inverse matters and the Cholesky/triangular-solve lowering is the
     bottleneck.

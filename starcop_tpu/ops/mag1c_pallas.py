@@ -1439,6 +1439,13 @@ def _swh_geometry(step, w, interpret):
     return (ext, off_max) if off_max >= 0 else None
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nb", "step", "num_iter", "alpha", "covariance_update_scaling",
+        "interpret",
+    ),
+)
 def acrwl1mf_resident_swh(
     scene_swh: jax.Array,
     template: jax.Array,
@@ -1459,6 +1466,13 @@ def acrwl1mf_resident_swh(
     inverted by ``mag1c_column_blocks``' unblock), or None when the
     geometry doesn't fit (H % 128, slab alignment, VMEM budget) and the
     caller must fall back to the transpose + bsp route.
+
+    Jitted as a unit (geometry checks are static-shape, so the None
+    fallback resolves at trace time): the ~30 small XLA glue ops between
+    the two pallas_calls would otherwise dispatch eagerly — costly over a
+    remote-dispatch link, and eager-vs-jit f32 glue differences amplified
+    through the nonlinear reweighting iterations made this path disagree
+    with the (jitted) transpose + bsp route by up to 3%.
     """
     s, w, h = scene_swh.shape
     if w != nb * step:
