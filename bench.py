@@ -3,14 +3,22 @@
 Prints ONE JSON line:
   {"metric": "emit_full_scene_mag1c_latency", "value": <seconds>,
    "unit": "s", "vs_baseline": <speedup over the CPU float64 reference>,
-   "extras": {eval_tiles_per_sec[_b32], emit_granule_to_mask_ms,
-              train_steps_per_sec[_bf16], full_scene_mag1c_bf16_ms,
-              serve_scenes_per_sec, serve_mpx_per_sec, unet_scene_forward_ms}}
+   "extras": {eval_tiles_per_sec[_b32|_bf16w][_median],
+              emit_granule_to_mask_ms, train_steps_per_sec[_bf16][_median],
+              mag1c_device_ms / mag1c_tflops / mag1c_pct_peak_bf16_mxu /
+              mag1c_hbm_gbps, serve_scenes_per_sec[_median] /
+              serve_mpx_per_sec / serve_stage_*_ms,
+              unet_scene_forward[_bf16w]_ms, full_scene_mag1c_median_ms,
+              oracle_mask_agreement}}
 
 The extras are BASELINE.md's target metrics plus the repo's best configs
-(bf16 streaming / bf16 training) and the serving pipeline's steady-state
-throughput, measured by benchmarks/harness.py on the same chip in the same
-process.
+(bf16-resident-weights inference / bf16 training / u12-upload serving), the
+resident kernel's device-time roofline accounting, and the serving
+pipeline's steady-state throughput with per-stage attribution, measured by
+benchmarks/harness.py on the same chip in the same process. Headlines are
+best-chain; *_median companions record the shared-host spread. Before any
+headline is printed, the timed kernel's output must pass a threshold-mask
+agreement guard against the float64 reference oracle on the sampled blocks.
 
 The headline target (BASELINE.md): >= 10x the CPU reference's full-scene EMIT
 matched-filter throughput. The scene is a synthetic EMIT-granule-sized cube
@@ -96,9 +104,11 @@ def main():
         _ = float(acc)
         times.append((time.time() - t0) / PIPELINE)
     # Best chain: the shared build host intermittently steals the dispatch
-    # thread (see benchmarks/harness.py:_timed) — steady state is the
-    # uncontended chain.
+    # thread (see benchmarks/harness.py:_timed_stats) — steady state is the
+    # uncontended chain; the median rides along in the extras as the spread
+    # record.
     tpu_s = float(np.min(times))
+    tpu_s_median = float(np.median(times))
     mf = np.asarray(mf)
     # Numerics guard: TPU-only precision behavior can diverge from the CPU
     # test suite (seen once: default bf16 matmul passes NaN-ing the Woodbury
@@ -121,11 +131,32 @@ def main():
         .reshape(nb, H * COLUMN_STEP, len(template))
     )
     t0 = time.time()
-    reference_oracle_acrwl1mf(
+    mf_oracle, _alb_oracle = reference_oracle_acrwl1mf(
         xb[:sample_blocks].astype(np.float64), template, num_iter=NUM_ITER, alpha=ALPHA
     )
     cpu_s = (time.time() - t0) * (nb / sample_blocks)
     print(f"CPU f64 reference (scaled from {sample_blocks}/{nb} blocks): {cpu_s:.1f}s", file=sys.stderr)
+
+    # Detection-equivalence guard: the TIMED kernel's output must agree with
+    # the float64 reference on the sampled column blocks before any headline
+    # is printed — the driver can never record a number from an unverified
+    # kernel path. Column blocks are independent, so mf restricted to the
+    # first two blocks IS the full-scene run's result for those pixels
+    # (block b's pixels are p = h*step + j at columns j + b*step).
+    mf_blocks = (
+        mf[:, : sample_blocks * COLUMN_STEP]
+        .reshape(H, sample_blocks, COLUMN_STEP)
+        .transpose(1, 0, 2)
+        .reshape(sample_blocks, H * COLUMN_STEP)
+    )
+    oracle = np.asarray(mf_oracle).reshape(sample_blocks, H * COLUMN_STEP)
+    agree = float(((mf_blocks > 500.0) == (oracle > 500.0)).mean())
+    if agree < 0.999:  # f32-vs-f64 contract of the pinned kernel tests
+        raise RuntimeError(
+            f"kernel/oracle threshold-mask agreement {agree:.6f} < 0.999 — "
+            "the timed matched-filter path diverges from the f64 reference"
+        )
+    print(f"detection-equivalence guard: mask agreement {agree:.6f}", file=sys.stderr)
 
     # BASELINE.md's other target metrics, on the same chip. Each section is
     # skipped past the deadline (remote compiles vary 20-650 s; never risk
@@ -142,6 +173,8 @@ def main():
     except Exception as e:  # noqa: BLE001 — extras must never break the headline
         print(f"extras failed: {e}", file=sys.stderr)
 
+    extras["full_scene_mag1c_median_ms"] = round(tpu_s_median * 1e3, 2)
+    extras["oracle_mask_agreement"] = round(agree, 6)
     print(
         json.dumps(
             {

@@ -3,22 +3,27 @@
     python benchmarks/harness.py [--quick]
 
 Reports (JSON lines to stdout, one per metric):
-  * eval_tiles_per_sec[_b32] — 512x512 4-channel tiles/sec through the
+  * eval_tiles_per_sec[_b32|_bf16w] — 512x512 4-channel tiles/sec through the
     flagship U-Net forward (the reference's batch_size=1 run_validation hot
-    loop, batched here; _b32 probes the larger-batch lever);
+    loop, batched here); _b32 probes the larger-batch lever, _bf16w the
+    bf16-resident-weights config (variables cast once, no per-layer casts);
   * emit_granule_to_mask_ms — raw granule -> plume mask, one fused program;
   * train_steps_per_sec[_bf16] — batch-32 128x128 training steps/sec (f32
     and the bf16-compute best config);
-  * full_scene_mag1c_bf16_ms — the matched filter's bf16-streaming best
-    config (finiteness-guarded; fidelity pinned by tests);
-  * serve_scenes_per_sec / serve_mpx_per_sec — steady-state throughput of N
-    granules through the overlapped serving pipeline (h5 read + compute +
-    GeoTIFF write);
-  * unet_scene_forward_ms — one reflect-padded whole-scene forward.
+  * mag1c_device_ms / mag1c_tflops / mag1c_pct_peak_bf16_mxu /
+    mag1c_hbm_gbps — device-time + roofline accounting for the headline
+    resident matched filter (two pipeline depths isolate dispatch RTT);
+  * serve_scenes_per_sec / serve_mpx_per_sec + serve_stage_{read,
+    upload_compute,write}_ms — steady-state throughput and per-stage
+    attribution of N granules through the overlapped serving pipeline
+    (h5 read + u12-quantized upload + compute + GeoTIFF write);
+  * unet_scene_forward[_bf16w]_ms — one reflect-padded whole-scene forward.
 
-All timings are pipelined (N executions, ONE host-visible scalar at the end,
-total/N — see ``_timed``): the remote TPU tunnel costs ~33 ms per host sync
-and its block_until_ready returns early, so per-run syncs measure RTT.
+Headline values are best-chain; ``*_median`` companions carry the observed
+shared-host spread. All timings are pipelined (N executions, ONE
+host-visible scalar at the end, total/N — see ``_timed_stats``): the remote
+TPU tunnel costs ~33 ms per host sync and its block_until_ready returns
+early, so per-run syncs measure RTT.
 """
 
 import os as _os, sys as _sys
@@ -32,7 +37,7 @@ import time
 import numpy as np
 
 
-def _timed(fn, repeats=3, pipeline=32):
+def _timed_stats(fn, repeats=3, pipeline=32, warm=True):
     """Per-run seconds, pipelined: enqueue ``pipeline`` dependent executions
     and force ONE host-visible scalar at the end.
 
@@ -43,15 +48,17 @@ def _timed(fn, repeats=3, pipeline=32):
     amortized dispatch. ``fn`` must return a jax array (NOT force a host
     sync itself).
 
-    Returns the BEST chain (min time): the first chain after compile is
-    reliably slow (buffer/donation setup), and the shared build host
-    intermittently steals the dispatch thread — measured e.g. bf16 train
-    repeats of [52, 108, 107, 109, 109] steps/s. Steady-state throughput is
-    the uncontended chain; median-of-3 was reporting host noise.
+    Returns ``(best, median)`` chain times. Headline numbers use the BEST
+    chain: the first chain after compile is reliably slow (buffer/donation
+    setup), and the shared build host intermittently steals the dispatch
+    thread — measured e.g. bf16 train repeats of [52, 108, 107, 109, 109]
+    steps/s, so median-of-3 was reporting host noise. The median rides along
+    in the reported extras so the record carries the observed spread.
     """
     import jax.numpy as jnp
 
-    float(jnp.sum(fn()))  # warm/compile
+    if warm:
+        float(jnp.sum(fn()))  # warm/compile
     times = []
     for _ in range(repeats):
         t0 = time.time()
@@ -61,7 +68,11 @@ def _timed(fn, repeats=3, pipeline=32):
             acc = s if acc is None else acc + s
         float(acc)  # one sync for the whole chain
         times.append((time.time() - t0) / pipeline)
-    return float(np.min(times))
+    return float(np.min(times)), float(np.median(times))
+
+
+def _timed(fn, repeats=3, pipeline=32):
+    return _timed_stats(fn, repeats=repeats, pipeline=pipeline)[0]
 
 
 def collect(quick: bool = False, deadline_ts: float = None):
@@ -115,11 +126,30 @@ def collect(quick: bool = False, deadline_ts: float = None):
     def run_eval():
         return fwd(variables, x_eval)
 
-    t = _timed(run_eval)
+    t, t_med = _timed_stats(run_eval)
     results.append({"metric": "eval_tiles_per_sec", "value": round(batch_eval / t, 2), "unit": "tiles/s"})
-    # (bf16-compute eval was measured too: slower than f32 at this batch size
-    # — inference is conv-DMA-bound and the per-layer casts dominate — so
-    # only training keeps a bf16 mode.)
+    results.append({"metric": "eval_tiles_per_sec_median", "value": round(batch_eval / t_med, 2), "unit": "tiles/s"})
+
+    # bf16-RESIDENT-weights eval: the variables pytree is cast to bf16 once,
+    # so no per-layer f32->bf16 casts exist (plain bf16-COMPUTE eval was
+    # measured SLOWER than f32 because those casts dominate a DMA-bound
+    # forward — docs/PROFILE.md). Detection equivalence pinned by
+    # tests/test_models.py::test_bf16_resident_weights_inference.
+    from starcop_tpu.models import cast_variables_for_inference
+
+    model_bf16w = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="unet_semseg",
+        model_dtype=jnp.bfloat16,
+    )
+    v_bf16 = cast_variables_for_inference(variables)
+    fwd_bf16 = jax.jit(lambda v, x: model_bf16w.apply(v, x, train=False))
+
+    def run_eval_bf16():
+        return fwd_bf16(v_bf16, x_eval)
+
+    t = _timed(run_eval_bf16)
+    results.append({"metric": "eval_tiles_per_sec_bf16w", "value": round(batch_eval / t, 2), "unit": "tiles/s"})
 
     # Larger eval batch: amortizes per-dispatch overhead if the forward is
     # not yet compute-bound at batch 8 (VERDICT r2 #8).
@@ -188,8 +218,10 @@ def collect(quick: bool = False, deadline_ts: float = None):
         state_holder["state"] = new_state
         return loss  # real steps chain through the carried state
 
-    t = _timed(run_train)
+    t, t_med = _timed_stats(run_train)
     results.append({"metric": "train_steps_per_sec", "value": round(1.0 / t, 2),
+                    "unit": f"steps/s (batch {bsz})"})
+    results.append({"metric": "train_steps_per_sec_median", "value": round(1.0 / t_med, 2),
                     "unit": f"steps/s (batch {bsz})"})
 
     # ---- bf16 training steps/sec (the repo's best training config) --------
@@ -210,31 +242,55 @@ def collect(quick: bool = False, deadline_ts: float = None):
         holder_bf16["state"] = new_state
         return loss
 
-    t = _timed(run_train_bf16)
+    t, t_med = _timed_stats(run_train_bf16)
     results.append({"metric": "train_steps_per_sec_bf16", "value": round(1.0 / t, 2),
                     "unit": f"steps/s (batch {bsz})"})
+    results.append({"metric": "train_steps_per_sec_bf16_median", "value": round(1.0 / t_med, 2),
+                    "unit": f"steps/s (batch {bsz})"})
 
-    # ---- full-scene matched filter, bf16 streaming (best mag1c config) ----
-    _mark("mag1c_bf16")
+    # ---- matched-filter device-time / roofline accounting -----------------
+    # (replaces the retired full_scene_mag1c_bf16_ms extra: bf16 streaming is
+    # superseded by the VMEM-resident kernel — DESIGN.md §7.) Two pipeline
+    # depths isolate device time from amortized dispatch RTT:
+    #   t(d) = device + rtt/d  =>  device = (d2*t(d2) - d1*t(d1)) / (d2 - d1).
+    _mark("mag1c_roofline")
     if past_deadline():
         return results
     import functools
 
-    mf_bf16 = jax.jit(
-        functools.partial(
-            mag1c_column_blocks, column_step=54, num_iter=30, alpha=1e-4,
-            stream_dtype=jnp.bfloat16,
-        )
+    mf_f32 = jax.jit(
+        functools.partial(mag1c_column_blocks, column_step=54, num_iter=30, alpha=1e-4)
     )
 
-    def run_mf_bf16():
-        mf, _ = mf_bf16(cube_d, tpl_d, None)
+    def run_mf():
+        mf, _ = mf_f32(cube_d, tpl_d, None)
         return mf
 
-    t = _timed(run_mf_bf16)
-    if not np.isfinite(np.asarray(run_mf_bf16())).all():
-        raise RuntimeError("bf16 matched-filter output contains non-finite values")
-    results.append({"metric": "full_scene_mag1c_bf16_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+    d1, d2 = 8, 32
+    t1, _ = _timed_stats(run_mf, pipeline=d1)
+    t2, _ = _timed_stats(run_mf, pipeline=d2, warm=False)
+    dev_s = max((d2 * t2 - d1 * t1) / (d2 - d1), 1e-9)
+    h_px, w_px = cube_d.shape[:2]
+    s_bands = cube_d.shape[2]
+    n_iter = 30
+    # Useful work (not counting padding): the resident filter's per-iteration
+    # body is 3 (S,P)-shaped matvec passes over every pixel, plus the init
+    # pass's mean+covariance (S+1 fused passes).
+    flops = 2.0 * h_px * w_px * s_bands * (3 * n_iter + (s_bands + 1))
+    # HBM traffic: TWO f32 reads of the cube (init stats + resident filter —
+    # the direct-swh path's design point) + mf/albedo outputs.
+    hbm_bytes = 2.0 * h_px * w_px * s_bands * 4 + 2.0 * h_px * w_px * 4
+    results.append({"metric": "mag1c_device_ms", "value": round(dev_s * 1e3, 2), "unit": "ms"})
+    results.append({"metric": "mag1c_tflops", "value": round(flops / dev_s / 1e12, 2),
+                    "unit": "TFLOP/s (useful)"})
+    # v5e peaks: 394 TFLOP/s bf16 MXU, ~819 GB/s HBM. The kernel's dots are
+    # (S~56)-deep matvecs — MXU tiles are 128x128, so the shape ceiling is
+    # ~56/128 *1/128 of peak; %-of-peak is reported against the hardware
+    # number to keep the record honest about headroom.
+    results.append({"metric": "mag1c_pct_peak_bf16_mxu", "value": round(100 * flops / dev_s / 394e12, 3),
+                    "unit": "% of 394 TFLOP/s"})
+    results.append({"metric": "mag1c_hbm_gbps", "value": round(hbm_bytes / dev_s / 1e9, 1),
+                    "unit": "GB/s (of ~819 peak)"})
 
     # ---- steady-state serving throughput (pipeline overlap, N granules) ---
     _mark("serve")
@@ -263,6 +319,21 @@ def collect(quick: bool = False, deadline_ts: float = None):
 
     t = _timed(run_scene)
     results.append({"metric": "unet_scene_forward_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+
+    # bf16-resident-weights whole-scene forward (same config as
+    # eval_tiles_per_sec_bf16w).
+    if past_deadline():
+        return results
+
+    @jax.jit
+    def scene_fwd_bf16(s):
+        return padded_apply(s, lambda b: model_bf16w.apply(v_bf16, b, train=False))
+
+    def run_scene_bf16():
+        return scene_fwd_bf16(scene)
+
+    t = _timed(run_scene_bf16)
+    results.append({"metric": "unet_scene_forward_bf16w_ms", "value": round(t * 1e3, 1), "unit": "ms"})
     return results
 
 
@@ -311,30 +382,50 @@ def _serve_throughput(model, variables, quick: bool = False):
             paths.append(path)
 
         out_dir = _os.path.join(tmp, "out")
+        # The u12 upload codec is the production config for this link: the
+        # host->device upload is the dominant per-scene cost (measured ~25-30
+        # MB/s tunnel; 80 MB f32 cube), and u12 ships 37.5% of the bytes at
+        # pinned detection fidelity (serve/pipeline.py docstring).
         pipeline = emit_serving_pipeline(
             lambda x: model.apply(variables, x, train=False),
             out_dir,
             column_step=52 if quick else 54,
             num_iter=30,
+            upload_dtype="u12",
         )
         pipeline.run(paths[:1])  # warm the fused program (compile outside timing)
-        # Best of 2 timed passes: the pipeline's host stages (h5 read, tif
-        # write) share CPUs with whatever else the build host runs, which
-        # measured up to ~2.6x run-to-run swing; steady-state throughput is
-        # the uncontended pass.
-        wall = float("inf")
-        for _ in range(2):
+        # Best + median of 3 timed passes: the pipeline's host stages (h5
+        # read, quantize, tif write) share CPUs with whatever else the build
+        # host runs, which measured up to ~2.6x run-to-run swing;
+        # steady-state throughput is the uncontended pass, the median rides
+        # along as the spread record.
+        walls, stage_meds = [], []
+        for _ in range(3):
             t0 = time.time()
             results = pipeline.run(paths)
-            wall = min(wall, time.time() - t0)
+            walls.append(time.time() - t0)
             ok = [r for r in results if r.error is None]
             if len(ok) != n_scenes:
                 raise RuntimeError(f"{n_scenes - len(ok)} scenes failed")
+            stage_meds.append({
+                k: float(np.median([r.timings[k] for r in ok]))
+                for k in ("read_s", "compute_s", "write_s")
+            })
+        wall = min(walls)
+        stages = stage_meds[int(np.argmin(walls))]
         return [
             {"metric": "serve_scenes_per_sec", "value": round(n_scenes / wall, 2),
-             "unit": f"scenes/s ({h_s}x{w_s}, incl. h5 read + tif write)"},
+             "unit": f"scenes/s ({h_s}x{w_s}, u12 upload, incl. h5 read + tif write)"},
+            {"metric": "serve_scenes_per_sec_median", "value": round(n_scenes / float(np.median(walls)), 2),
+             "unit": "scenes/s"},
             {"metric": "serve_mpx_per_sec", "value": round(n_scenes * h_s * w_s / wall / 1e6, 1),
              "unit": "Mpx/s"},
+            # Per-stage attribution (median over scenes, best pass): compute_s
+            # includes waiting on the scene's own host->device upload — the
+            # dominant stage on this link.
+            {"metric": "serve_stage_read_ms", "value": round(stages["read_s"] * 1e3, 0), "unit": "ms"},
+            {"metric": "serve_stage_upload_compute_ms", "value": round(stages["compute_s"] * 1e3, 0), "unit": "ms"},
+            {"metric": "serve_stage_write_ms", "value": round(stages["write_s"] * 1e3, 0), "unit": "ms"},
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -15,6 +15,7 @@
 // API (C, ctypes-friendly): all functions return 0 on success, -errno-style
 // negative codes on failure.
 
+#include <algorithm>
 #include <cerrno>
 #include <cstdint>
 #include <cstdio>
@@ -112,6 +113,111 @@ int64_t starcop_file_size(const char* path) {
   struct stat st;
   if (stat(path, &st) != 0) return -errno;
   return static_cast<int64_t>(st.st_size);
+}
+
+// ---------------------------------------------------------------------------
+// Upload codec: per-band affine 12-bit quantization, packed 2 values / 3 bytes.
+//
+// Role: the serving pipeline's host-side encode stage. On bandwidth-limited
+// host->device links (remote-attached chips) the radiance-cube upload is the
+// dominant per-scene cost; 12-bit per-band fixed point is measured
+// detection-equivalent to the f32 filter (matched-filter threshold masks agree
+// to ~2e-4) at 37.5% of the bytes. numpy needs ~6 full passes over the cube
+// for minmax+quantize+pack; these fuse them into one threaded pass each.
+// ---------------------------------------------------------------------------
+
+// Per-band min/max over VALID pixels only (valid: n_px u8 mask, may be null =
+// all valid). cube: (n_px, S) f32 contiguous. Parallel over pixel stripes.
+int starcop_band_minmax(const float* cube, const uint8_t* valid, int64_t n_px,
+                        int32_t s, float* lo_out, float* hi_out,
+                        int32_t n_threads) {
+  if (n_px <= 0 || s <= 0) return -EINVAL;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
+  if (static_cast<int64_t>(nt) > n_px) nt = static_cast<int>(n_px);
+
+  std::vector<std::vector<float>> los(nt), his(nt);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  const int64_t stripe = (n_px + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      std::vector<float>& lo = los[t];
+      std::vector<float>& hi = his[t];
+      lo.assign(s, 3.4e38f);
+      hi.assign(s, -3.4e38f);
+      const int64_t p0 = t * stripe;
+      const int64_t p1 = std::min(n_px, p0 + stripe);
+      for (int64_t p = p0; p < p1; ++p) {
+        if (valid && !valid[p]) continue;
+        const float* row = cube + p * s;
+        for (int32_t b = 0; b < s; ++b) {
+          const float v = row[b];
+          if (v < lo[b]) lo[b] = v;
+          if (v > hi[b]) hi[b] = v;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int32_t b = 0; b < s; ++b) {
+    float lo = 3.4e38f, hi = -3.4e38f;
+    for (int t = 0; t < nt; ++t) {
+      if (los[t][b] < lo) lo = los[t][b];
+      if (his[t][b] > hi) hi = his[t][b];
+    }
+    // All-invalid band: pin a harmless (0, 1) range (mirrors the numpy path).
+    lo_out[b] = (lo <= hi) ? lo : 0.0f;
+    hi_out[b] = (lo <= hi) ? hi : 1.0f;
+  }
+  return 0;
+}
+
+// Quantize q = clamp(rint((x - lo) * inv_scale), 0, 4095) and pack band pairs
+// (2k, 2k+1) into 3 bytes, written as THREE planes of (n_px, S/2) u8 at
+// out / out+plane / out+2*plane:
+//   b0 = q0 & 0xff;  b1 = (q0 >> 8) | ((q1 & 0xf) << 4);  b2 = q1 >> 4.
+// The device unpacks with two shifts per plane (see serve/pipeline.py). S must
+// be even. Parallel over pixel stripes.
+int starcop_quantize_pack12(const float* cube, int64_t n_px, int32_t s,
+                            const float* lo, const float* inv_scale,
+                            uint8_t* out, int32_t n_threads) {
+  if (n_px <= 0 || s <= 0 || (s % 2) != 0) return -EINVAL;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
+  if (static_cast<int64_t>(nt) > n_px) nt = static_cast<int>(n_px);
+
+  const int32_t sh = s / 2;
+  const int64_t plane = n_px * sh;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  const int64_t stripe = (n_px + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      const int64_t p0 = t * stripe;
+      const int64_t p1 = std::min(n_px, p0 + stripe);
+      for (int64_t p = p0; p < p1; ++p) {
+        const float* row = cube + p * s;
+        uint8_t* o0 = out + p * sh;
+        uint8_t* o1 = o0 + plane;
+        uint8_t* o2 = o1 + plane;
+        for (int32_t k = 0; k < sh; ++k) {
+          const int32_t b0i = 2 * k, b1i = 2 * k + 1;
+          float f0 = (row[b0i] - lo[b0i]) * inv_scale[b0i];
+          float f1 = (row[b1i] - lo[b1i]) * inv_scale[b1i];
+          int32_t q0 = static_cast<int32_t>(f0 + 0.5f);  // x>=lo: round-half-up
+          int32_t q1 = static_cast<int32_t>(f1 + 0.5f);
+          q0 = q0 < 0 ? 0 : (q0 > 4095 ? 4095 : q0);
+          q1 = q1 < 0 ? 0 : (q1 > 4095 ? 4095 : q1);
+          o0[k] = static_cast<uint8_t>(q0 & 0xff);
+          o1[k] = static_cast<uint8_t>((q0 >> 8) | ((q1 & 0xf) << 4));
+          o2[k] = static_cast<uint8_t>(q1 >> 4);
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
 }
 
 }  // extern "C"

@@ -51,6 +51,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.starcop_read_window.restype = ctypes.c_int
     lib.starcop_read_windows_batch.restype = ctypes.c_int
     lib.starcop_file_size.restype = ctypes.c_int64
+    # Upload-codec entry points are absent in a stale pre-built library;
+    # treat them as optional so the numpy fallback keeps working.
+    for fn in ("starcop_band_minmax", "starcop_quantize_pack12"):
+        if hasattr(lib, fn):
+            getattr(lib, fn).restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -112,6 +117,100 @@ def read_window(
     )
     if rc != 0:
         raise OSError(f"starcop_read_window({path}) failed: {rc}")
+    return out
+
+
+def band_minmax(
+    cube: np.ndarray, valid: Optional[np.ndarray] = None, n_threads: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-band (lo, hi) over valid pixels of a (..., S) float32 cube.
+
+    One fused threaded pass in native code when the library is built; the
+    numpy fallback needs two full-cube temporaries. All-invalid bands pin
+    (0, 1) so the downstream quantization scale stays finite.
+    """
+    cube = np.ascontiguousarray(cube, np.float32)
+    s = cube.shape[-1]
+    n_px = int(np.prod(cube.shape[:-1]))
+    if valid is not None:
+        valid = np.ascontiguousarray(valid.reshape(n_px), np.uint8)
+    lib = _load()
+    if lib is not None and hasattr(lib, "starcop_band_minmax"):
+        lo = np.empty(s, np.float32)
+        hi = np.empty(s, np.float32)
+        rc = lib.starcop_band_minmax(
+            cube.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            None if valid is None else valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(n_px),
+            ctypes.c_int32(s),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            hi.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise OSError(f"starcop_band_minmax failed: {rc}")
+        return lo, hi
+    flat = cube.reshape(n_px, s)
+    if valid is None:
+        return flat.min(axis=0), flat.max(axis=0)
+    v = valid.astype(bool)[:, None]
+    lo = np.where(v, flat, np.inf).min(axis=0)
+    hi = np.where(v, flat, -np.inf).max(axis=0)
+    ok = np.isfinite(lo) & np.isfinite(hi)
+    return (
+        np.where(ok, lo, 0.0).astype(np.float32),
+        np.where(ok, hi, 1.0).astype(np.float32),
+    )
+
+
+def quantize_pack12(
+    cube: np.ndarray,
+    lo: np.ndarray,
+    scale: np.ndarray,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Per-band affine 12-bit quantization, band pairs packed 2 values/3 bytes.
+
+    cube: (..., S) float32 with S even; lo/scale: (S,) affine grid per band
+    (q = clamp(rint((x - lo)/scale), 0, 4095)). Returns a (3, ..., S/2) uint8
+    array of byte planes:
+
+        b0 = q0 & 0xff, b1 = (q0 >> 8) | ((q1 & 0xf) << 4), b2 = q1 >> 4
+
+    for each band pair (2k, 2k+1) — the wire format of the serving pipeline's
+    'u12' upload codec (unpacked on device, see serve/pipeline.py). Native
+    path is one fused threaded pass; numpy fallback vectorizes the same math
+    (rounding may differ by one step on exact-half grid points).
+    """
+    cube = np.ascontiguousarray(cube, np.float32)
+    s = cube.shape[-1]
+    if s % 2:
+        raise ValueError(f"quantize_pack12 needs an even band count, got {s}")
+    n_px = int(np.prod(cube.shape[:-1]))
+    out_shape = (3,) + cube.shape[:-1] + (s // 2,)
+    lo = np.ascontiguousarray(lo, np.float32)
+    inv_scale = np.ascontiguousarray(1.0 / np.asarray(scale, np.float32))
+    lib = _load()
+    if lib is not None and hasattr(lib, "starcop_quantize_pack12"):
+        out = np.empty(out_shape, np.uint8)
+        rc = lib.starcop_quantize_pack12(
+            cube.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(n_px),
+            ctypes.c_int32(s),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            inv_scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise OSError(f"starcop_quantize_pack12 failed: {rc}")
+        return out
+    q = np.clip(np.rint((cube - lo) * inv_scale), 0, 4095).astype(np.uint16)
+    q0, q1 = q[..., 0::2], q[..., 1::2]
+    out = np.empty(out_shape, np.uint8)
+    out[0] = q0 & 0xFF
+    out[1] = (q0 >> 8).astype(np.uint8) | ((q1 & 0xF) << 4).astype(np.uint8)
+    out[2] = (q1 >> 4).astype(np.uint8)
     return out
 
 

@@ -10,6 +10,7 @@ from starcop_tpu.models.mobilenet_unet import MobileNetV2UNet  # noqa: F401
 from starcop_tpu.models.simple import SingleConv, SimpleCNN, SimpleCNNRegression  # noqa: F401
 from starcop_tpu.models.segmenter import (  # noqa: F401
     SegmentationModel,
+    cast_variables_for_inference,
     configure_architecture,
     differences,
     pred_classification,

@@ -88,6 +88,26 @@ def configure_architecture(architecture: str, num_classes: int, settings=None, d
     return ARCHITECTURES[architecture](num_classes, settings, dtype=dtype)
 
 
+def cast_variables_for_inference(variables, dtype=jnp.bfloat16):
+    """Cast all float32 leaves of a variables pytree (params AND batch_stats)
+    to ``dtype`` once, for a bf16-resident-weights inference configuration.
+
+    Rationale: building the network with ``model_dtype=jnp.bfloat16`` alone
+    makes every layer promote its float32 params to bf16 *per forward pass*
+    (flax's dtype promotion) — at inference the conv weights then cross from
+    HBM twice per layer (f32 read + cast). Casting the stored variables once
+    removes the per-layer casts entirely and halves the weight DMA. Pair with
+    a model constructed with ``model_dtype=jnp.bfloat16``; logits are still
+    returned float32 (the network's final cast). Detection equivalence vs the
+    f32 configuration is pinned by
+    tests/test_models.py::test_bf16_resident_weights_inference.
+    """
+    def cast(p):
+        return p.astype(dtype) if p.dtype == jnp.float32 else p
+
+    return jax.tree.map(cast, variables)
+
+
 class SegmentationModel:
     """Network + normalizer + loss, with a pure-functional parameter state.
 

@@ -223,3 +223,34 @@ def test_mobilenet_unet_bf16_compute():
 
     grads = jax.grad(loss)(variables["params"])
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
+
+
+def test_bf16_resident_weights_inference():
+    """bf16-resident-weights inference config: cast the variables pytree once
+    (cast_variables_for_inference) and run the bf16-compute network — logits
+    must track the f32 configuration closely (the production zero-shot eval
+    path; detection flips only from sub-1e-2 logit noise)."""
+    from starcop_tpu.models import SegmentationModel, cast_variables_for_inference
+
+    products = ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"]
+    model_f32 = SegmentationModel(products, model_type="unet_semseg")
+    model_bf16 = SegmentationModel(
+        products, model_type="unet_semseg", model_dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 100, (2, 4, 64, 64)), jnp.float32)
+    variables = model_f32.init(jax.random.PRNGKey(0), x)
+    v_bf16 = cast_variables_for_inference(variables)
+    # every float32 leaf (params AND batch_stats) was narrowed exactly once
+    assert all(
+        l.dtype == jnp.bfloat16
+        for l in jax.tree.leaves(v_bf16)
+        if jnp.issubdtype(l.dtype, jnp.floating)
+    )
+    ref = np.asarray(model_f32.apply(variables, x, train=False))
+    out = np.asarray(model_bf16.apply(v_bf16, x, train=False))
+    assert out.dtype == np.float32
+    # logits track f32: tight against the logit spread (bf16 rounding only)
+    spread = float(ref.std()) + 1e-6
+    assert np.corrcoef(ref.ravel(), out.ravel())[0, 1] > 0.999
+    assert float(np.abs(out - ref).mean()) < 0.05 * spread

@@ -70,3 +70,61 @@ def test_numpy_fallback_matches(tmp_path, monkeypatch, rasters):
     monkeypatch.setattr(nio, "_tried", True)
     fallback = nio.read_window(paths[1], shape, dtype, (5, 6, 20, 21), nio.LAYOUT_R2, off)
     np.testing.assert_array_equal(native, fallback)
+
+
+def _unpack12(packed, lo, scale):
+    """Test-side decoder of the u12 wire format (3 byte planes -> values)."""
+    b0, b1, b2 = (packed[i].astype(np.uint16) for i in range(3))
+    q0 = b0 | ((b1 & 0xF) << 8)
+    q1 = (b1 >> 4) | (b2 << 4)
+    q = np.stack([q0, q1], axis=-1).reshape(packed.shape[1:-1] + (-1,))
+    return q.astype(np.float32) * scale + lo
+
+
+def test_band_minmax_valid_mask():
+    rng = np.random.default_rng(4)
+    cube = rng.uniform(1, 8, size=(40, 30, 6)).astype(np.float32)
+    valid = rng.uniform(size=(40, 30)) > 0.2
+    cube[~valid] = -9999.0  # fill values must not leak into the range
+    lo, hi = nio.band_minmax(cube, valid)
+    flat = cube.reshape(-1, 6)[valid.ravel()]
+    np.testing.assert_allclose(lo, flat.min(axis=0))
+    np.testing.assert_allclose(hi, flat.max(axis=0))
+    # all-invalid mask pins a harmless (0, 1) range
+    lo0, hi0 = nio.band_minmax(cube, np.zeros((40, 30), bool))
+    assert np.all(lo0 == 0.0) and np.all(hi0 == 1.0)
+
+
+def test_quantize_pack12_roundtrip():
+    rng = np.random.default_rng(5)
+    cube = rng.uniform(1, 8, size=(32, 24, 10)).astype(np.float32)
+    lo, hi = nio.band_minmax(cube)
+    scale = np.maximum((hi - lo) / 4095.0, 1e-12).astype(np.float32)
+    packed = nio.quantize_pack12(cube, lo, scale)
+    assert packed.shape == (3, 32, 24, 5) and packed.dtype == np.uint8
+    rt = _unpack12(packed, np.repeat(lo[None], 1, 0)[0], scale)
+    # half-step quantization bound per band
+    assert np.all(np.abs(rt - cube) <= scale * 0.51 + 1e-7)
+    # odd band counts are rejected (callers carry the tail band separately)
+    with pytest.raises(ValueError):
+        nio.quantize_pack12(cube[..., :9], lo[:9], scale[:9])
+
+
+def test_quantize_pack12_numpy_fallback_matches(monkeypatch):
+    rng = np.random.default_rng(6)
+    cube = rng.uniform(1, 8, size=(16, 12, 8)).astype(np.float32)
+    valid = rng.uniform(size=(16, 12)) > 0.1
+    lo_n, hi_n = nio.band_minmax(cube, valid)
+    scale = np.maximum((hi_n - lo_n) / 4095.0, 1e-12).astype(np.float32)
+    packed_n = nio.quantize_pack12(cube, lo_n, scale)
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", True)
+    lo_f, hi_f = nio.band_minmax(cube, valid)
+    np.testing.assert_allclose(lo_f, lo_n)
+    np.testing.assert_allclose(hi_f, hi_n)
+    packed_f = nio.quantize_pack12(cube, lo_f, scale)
+    # native rounds half-up, numpy rounds half-to-even: exact-half grid
+    # points may differ by one step; dequantized values by one scale step
+    rt_n = _unpack12(packed_n, lo_n, scale)
+    rt_f = _unpack12(packed_f, lo_n, scale)
+    assert np.all(np.abs(rt_n - rt_f) <= scale + 1e-7)

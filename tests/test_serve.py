@@ -236,7 +236,12 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
 
     outs = {}
-    for tag, up in (("f32", None), ("u16", jnp.uint16), ("bf16", jnp.bfloat16)):
+    for tag, up in (
+        ("f32", None),
+        ("u12", "u12"),
+        ("u16", jnp.uint16),
+        ("bf16", jnp.bfloat16),
+    ):
         out_dir = tmp_path / tag
         pipeline = emit_serving_pipeline(
             apply_fn, str(out_dir), column_step=16, num_iter=5, upload_dtype=up
@@ -250,11 +255,25 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     a = outs["f32"]
     assert (a > 1000).sum() > 50  # the scene carries decisive detections
 
-    # u16: strict contract (identical decisive masks, tight relative error)
-    assert_bf16_detection_equivalent(a, outs["u16"])
+    # u16: strict contract (identical decisive masks outside [250, 1000],
+    # tight relative error on detections).
     big = a > 1000
-    rel = np.abs(outs["u16"][big] - a[big]) / a[big]
-    assert np.median(rel) < 2e-3  # ~30x tighter than the bf16 allowance
+    assert_bf16_detection_equivalent(a, outs["u16"])
+    rel16 = np.abs(outs["u16"][big] - a[big]) / a[big]
+    assert np.median(rel16) < 2e-3
+
+    # u12: its own documented contract. The 12-bit grid step can re-ignite a
+    # rare background pixel the f32 filter's L1 reweighting fully suppressed
+    # (mf exactly 0 -> past threshold), which no f32-value "decisive band"
+    # can exclude — so the contract is count-based: >=99.9% threshold-mask
+    # agreement (measured 0.9992 here, 0.99980 on the 640x624 bench scene vs
+    # u16's 0.99976) and u16-grade relative error on true detections.
+    # Isolated one-pixel re-ignitions are removed by the baselines' binary
+    # opening and are noise to the U-Net.
+    thr = 500.0
+    assert ((a > thr) == (outs["u12"] > thr)).mean() >= 0.999
+    rel12 = np.abs(outs["u12"][big] - a[big]) / a[big]
+    assert np.median(rel12) < 5e-3
 
     # bf16: documented weaker contract
     thr = 500.0

@@ -107,3 +107,49 @@ def test_imagenet_encoder_init_rule(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError):
         SegmentationModel(rgb, model_type="unet_semseg",
                           encoder_weights="imagenet").init(jax.random.PRNGKey(0), x3)
+
+
+def test_lightning_ckpt_file_round_trip(tmp_path):
+    """The one path a released HF checkpoint takes, end to end through a FILE:
+    a Lightning-format ``final_checkpoint_model.ckpt`` (top-level 'state_dict'
+    with 'network.*' prefixes plus 'normalizer.*'/'pos_weight' buffers to
+    drop — reference model_module.py:258-266 loads exactly this layout) ->
+    ``load_pretrained_variables(experiment_dir)`` -> forward parity with the
+    torch network. Covers file dispatch, prefix-strip, and buffer-drop in one
+    test."""
+    from starcop_tpu.setup_shims import load_pretrained_variables
+    from tests.torch_twin import TorchMobileNetV2UNet
+
+    torch.manual_seed(2)
+    tm = TorchMobileNetV2UNet(in_channels=4, classes=1).eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    # Lightning checkpoint layout: the LightningModule's state_dict prefixes
+    # the wrapped smp.Unet with 'network.' and carries the normalizer
+    # constants and BCE pos_weight as extra buffers.
+    state_dict = {f"network.{k}": v for k, v in tm.state_dict().items()}
+    state_dict["normalizer.offsets"] = torch.zeros(4)
+    state_dict["normalizer.factors"] = torch.ones(4)
+    state_dict["pos_weight"] = torch.tensor([15.0])
+    ckpt = {
+        "state_dict": state_dict,
+        "epoch": 15,  # Lightning metadata keys ride along and must be ignored
+        "hyper_parameters": {"model": {"model_type": "unet_semseg"}},
+    }
+    exp_dir = tmp_path / "experiment"
+    exp_dir.mkdir()
+    torch.save(ckpt, exp_dir / "final_checkpoint_model.ckpt")
+
+    variables = load_pretrained_variables(str(exp_dir))
+
+    x = np.random.default_rng(3).normal(size=(1, 4, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    fm = MobileNetV2UNet(num_classes=1)
+    got = fm.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
