@@ -122,8 +122,17 @@ def main():
     )
 
     # CPU float64 reference baseline on a subset of blocks, scaled linearly.
+    # Sample the two MOST plume-bearing column blocks (by true-label pixels):
+    # blocks 0-1 of this scene carry no plumes, so sampling them would make
+    # the detection guard below vacuous (all-zero mask vs all-zero mask).
     nb = -(-W // COLUMN_STEP)
-    sample_blocks = 2
+    conc = scene["concentration"]
+    block_true = np.array([
+        (conc[:, b * COLUMN_STEP : (b + 1) * COLUMN_STEP] > 500.0).sum()
+        for b in range(nb)
+    ])
+    sample_idx = np.argsort(block_true)[-2:]
+    sample_blocks = len(sample_idx)
     xb = (
         np.pad(cube, ((0, 0), (0, nb * COLUMN_STEP - W), (0, 0)))
         .reshape(H, nb, COLUMN_STEP, len(template))
@@ -132,7 +141,7 @@ def main():
     )
     t0 = time.time()
     mf_oracle, _alb_oracle = reference_oracle_acrwl1mf(
-        xb[:sample_blocks].astype(np.float64), template, num_iter=NUM_ITER, alpha=ALPHA
+        xb[sample_idx].astype(np.float64), template, num_iter=NUM_ITER, alpha=ALPHA
     )
     cpu_s = (time.time() - t0) * (nb / sample_blocks)
     print(f"CPU f64 reference (scaled from {sample_blocks}/{nb} blocks): {cpu_s:.1f}s", file=sys.stderr)
@@ -140,23 +149,30 @@ def main():
     # Detection-equivalence guard: the TIMED kernel's output must agree with
     # the float64 reference on the sampled column blocks before any headline
     # is printed — the driver can never record a number from an unverified
-    # kernel path. Column blocks are independent, so mf restricted to the
-    # first two blocks IS the full-scene run's result for those pixels
-    # (block b's pixels are p = h*step + j at columns j + b*step).
-    mf_blocks = (
-        mf[:, : sample_blocks * COLUMN_STEP]
-        .reshape(H, sample_blocks, COLUMN_STEP)
-        .transpose(1, 0, 2)
-        .reshape(sample_blocks, H * COLUMN_STEP)
-    )
+    # kernel path. Column blocks are independent, so mf restricted to a
+    # block IS the full-scene run's result for those pixels (block b's
+    # pixels are p = h*step + j at columns j + b*step).
+    mf_blocks = np.stack(
+        [mf[:, b * COLUMN_STEP : (b + 1) * COLUMN_STEP] for b in sample_idx]
+    ).reshape(sample_blocks, H * COLUMN_STEP)
     oracle = np.asarray(mf_oracle).reshape(sample_blocks, H * COLUMN_STEP)
+    n_oracle_det = int((oracle > 500.0).sum())
+    if n_oracle_det == 0:  # the guard must never silently become vacuous
+        raise RuntimeError(
+            "guard sampled blocks contain no oracle detections — "
+            "threshold-mask agreement would be vacuous"
+        )
     agree = float(((mf_blocks > 500.0) == (oracle > 500.0)).mean())
     if agree < 0.999:  # f32-vs-f64 contract of the pinned kernel tests
         raise RuntimeError(
             f"kernel/oracle threshold-mask agreement {agree:.6f} < 0.999 — "
             "the timed matched-filter path diverges from the f64 reference"
         )
-    print(f"detection-equivalence guard: mask agreement {agree:.6f}", file=sys.stderr)
+    print(
+        f"detection-equivalence guard: mask agreement {agree:.6f} on blocks "
+        f"{sorted(int(b) for b in sample_idx)} ({n_oracle_det} oracle detections)",
+        file=sys.stderr,
+    )
 
     # BASELINE.md's other target metrics, on the same chip. Each section is
     # skipped past the deadline (remote compiles vary 20-650 s; never risk

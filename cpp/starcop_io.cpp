@@ -205,10 +205,14 @@ int starcop_quantize_pack12(const float* cube, int64_t n_px, int32_t s,
           const int32_t b0i = 2 * k, b1i = 2 * k + 1;
           float f0 = (row[b0i] - lo[b0i]) * inv_scale[b0i];
           float f1 = (row[b1i] - lo[b1i]) * inv_scale[b1i];
-          int32_t q0 = static_cast<int32_t>(f0 + 0.5f);  // x>=lo: round-half-up
+          // Clamp in float BEFORE the int cast: casting a float outside
+          // int32 range is UB, and near-constant bands (scale floored at
+          // 1e-12) can push out-of-range pixels to ~1e16. The comparison
+          // order also maps NaN to 0 deterministically.
+          f0 = f0 > 0.0f ? (f0 < 4095.0f ? f0 : 4095.0f) : 0.0f;
+          f1 = f1 > 0.0f ? (f1 < 4095.0f ? f1 : 4095.0f) : 0.0f;
+          int32_t q0 = static_cast<int32_t>(f0 + 0.5f);  // round-half-up
           int32_t q1 = static_cast<int32_t>(f1 + 0.5f);
-          q0 = q0 < 0 ? 0 : (q0 > 4095 ? 4095 : q0);
-          q1 = q1 < 0 ? 0 : (q1 > 4095 ? 4095 : q1);
           o0[k] = static_cast<uint8_t>(q0 & 0xff);
           o1[k] = static_cast<uint8_t>((q0 >> 8) | ((q1 & 0xf) << 4));
           o2[k] = static_cast<uint8_t>(q1 >> 4);

@@ -33,18 +33,20 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        makefile = os.path.join(_REPO_ROOT, "cpp", "Makefile")
-        if os.path.exists(makefile):
-            try:
-                subprocess.run(
-                    ["make", "-C", os.path.dirname(makefile)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except (subprocess.SubprocessError, OSError):
-                return None
+    # Run make unconditionally: it is a no-op when the library is newer than
+    # the source, and rebuilds a stale .so after a source edit (the old code
+    # only built when the .so was absent, so edits never took effect).
+    makefile = os.path.join(_REPO_ROOT, "cpp", "Makefile")
+    if os.path.exists(makefile):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(makefile)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (subprocess.SubprocessError, OSError):
+            pass  # fall through: load a pre-built library if one exists
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)

@@ -195,6 +195,10 @@ def emit_serving_pipeline(
       with a few borderline background pixels unpinned by the L1
       regularizer — use u12/u16 unless the host CPU is the bottleneck.
 
+    Under u12/u16 the three RGB display planes also ride the wire as
+    per-band affine u16 (~1e-4 relative error into the model's TOA
+    channels) and are dequantized inside the fused program.
+
     Fidelity of all three is pinned by
     tests/test_serve.py::test_pipeline_narrow_upload_detection. Radiometric
     products (mf magnitudes, albedo) keep f32 compute either way; only the
@@ -237,24 +241,27 @@ def emit_serving_pipeline(
             cube = np.ascontiguousarray(cube, np.float32)
             s_total = cube.shape[-1]
             s_even = s_total - (s_total % 2)
-            body = cube[..., :s_even]
+            if s_total % 2:
+                raw["q_tail"] = np.ascontiguousarray(cube[..., s_even:])
+                # Materialize the even-band body ONCE: the sliced view is
+                # non-contiguous, and band_minmax + quantize_pack12 would each
+                # otherwise take their own full-cube contiguous copy.
+                body = np.ascontiguousarray(cube[..., :s_even])
+            else:
+                body = cube
             lo, hi = native_io.band_minmax(body, valid)
             scale = np.maximum((hi - lo) / 4095.0, 1e-12).astype(np.float32)
             raw["q_lo"], raw["q_scale"] = lo, scale
-            if s_total % 2:
-                raw["q_tail"] = cube[..., s_even:]
             cube = native_io.quantize_pack12(body, lo, scale)
         elif quantized:
             # Per-band affine quantization over the VALID range (fill
-            # sentinels would blow the step size ~1000x). One vectorized
-            # numpy pass; the fused program dequantizes on device.
-            cube = np.asarray(cube, np.float32)
-            v3 = valid[..., None]
-            lo = np.where(v3, cube, np.inf).min(axis=(0, 1))
-            hi = np.where(v3, cube, -np.inf).max(axis=(0, 1))
-            ok = np.isfinite(lo) & np.isfinite(hi)  # all-invalid bands
-            lo = np.where(ok, lo, 0.0).astype(np.float32)
-            hi = np.where(ok, hi, 1.0)
+            # sentinels would blow the step size ~1000x). The (lo, hi) scan is
+            # the fused threaded native pass (numpy fallback inside); the
+            # fused program dequantizes on device.
+            from starcop_tpu.data import native_io
+
+            cube = np.ascontiguousarray(cube, np.float32)
+            lo, hi = native_io.band_minmax(cube, valid)
             scale = np.maximum((hi - lo) / 65535.0, 1e-12).astype(np.float32)
             cube = np.clip(
                 np.rint((cube - lo) / scale), 0, 65535
@@ -270,10 +277,28 @@ def emit_serving_pipeline(
             "transform": scene.transform,
             "crs_epsg": scene.crs_epsg,
         }
+        rgb = np.moveaxis(scene.read_rgb(), -1, 0).astype(np.float32)
+        if packed12 or quantized:
+            # The RGB display planes ride the same narrow wire: per-band
+            # affine u16 (50% of the f32 bytes; ~1e-4 relative error, far
+            # inside the model's bf16-compute tolerance). On this link the
+            # f32 RGB was ~90-180 ms/scene of upload for 3 of 53 bands.
+            v3 = valid[None]
+            r_lo = np.where(v3, rgb, np.inf).min(axis=(1, 2))
+            r_hi = np.where(v3, rgb, -np.inf).max(axis=(1, 2))
+            ok = np.isfinite(r_lo) & np.isfinite(r_hi)  # all-invalid planes
+            r_lo = np.where(ok, r_lo, 0.0).astype(np.float32)
+            r_hi = np.where(ok, r_hi, 1.0)
+            r_scale = np.maximum((r_hi - r_lo) / 65535.0, 1e-12).astype(np.float32)
+            rgb = np.clip(
+                np.rint((rgb - r_lo[:, None, None]) / r_scale[:, None, None]),
+                0, 65535,
+            ).astype(np.uint16)
+            raw["rgb_lo"], raw["rgb_scale"] = r_lo, r_scale
         raw.update({
             "cube": cube,
             "valid": valid,
-            "rgb": np.moveaxis(scene.read_rgb(), -1, 0),
+            "rgb": rgb,
         })
         if multi:
             # Device unknown until a worker claims the scene: hand over host
@@ -307,6 +332,11 @@ def emit_serving_pipeline(
                         stream_dtype=stream_dtype,
                     )
 
+                # RGB planes arrive u16 under the narrow codecs; dequantize
+                # inside the fused program (one multiply-add on 3 planes).
+                def dequant_rgb(r, rlo, rsc):
+                    return r.astype(jnp.float32) * rsc[:, None, None] + rlo[:, None, None]
+
                 if packed12:
                     # Unpack the byte planes inside the fused program: two
                     # shifts per plane + interleave + one multiply-add —
@@ -328,22 +358,22 @@ def emit_serving_pipeline(
                     has_tail = "q_tail" in payload
                     if has_tail:
                         fused_cache[key] = jax.jit(
-                            lambda c, lo, sc, tail, r, v: granule(
-                                dequant12(c, lo, sc, tail), r, v
+                            lambda c, lo, sc, tail, r, rlo, rsc, v: granule(
+                                dequant12(c, lo, sc, tail), dequant_rgb(r, rlo, rsc), v
                             )
                         )
                     else:
                         fused_cache[key] = jax.jit(
-                            lambda c, lo, sc, r, v: granule(
-                                dequant12(c, lo, sc, None), r, v
+                            lambda c, lo, sc, r, rlo, rsc, v: granule(
+                                dequant12(c, lo, sc, None), dequant_rgb(r, rlo, rsc), v
                             )
                         )
                 elif quantized:
                     # Dequantize inside the fused program: one fused
                     # multiply-add pass before the filter.
                     fused_cache[key] = jax.jit(
-                        lambda c, lo, sc, r, v: granule(
-                            c.astype(jnp.float32) * sc + lo, r, v
+                        lambda c, lo, sc, r, rlo, rsc, v: granule(
+                            c.astype(jnp.float32) * sc + lo, dequant_rgb(r, rlo, rsc), v
                         )
                     )
                 else:
@@ -353,18 +383,15 @@ def emit_serving_pipeline(
                 cube = jax.device_put(cube, device)
                 rgb = jax.device_put(rgb, device)
                 valid = jax.device_put(valid, device)
-            if packed12:
+            if packed12 or quantized:
                 extra = [payload["q_lo"], payload["q_scale"]]
-                if "q_tail" in payload:
+                if packed12 and "q_tail" in payload:
                     extra.append(payload["q_tail"])
+                rgb_extra = [payload["rgb_lo"], payload["rgb_scale"]]
                 if device is not None:
                     extra = [jax.device_put(a, device) for a in extra]
-                pred_d, mf_d = fused_cache[key](cube, *extra, rgb, valid)
-            elif quantized:
-                lo, sc = payload["q_lo"], payload["q_scale"]
-                if device is not None:
-                    lo, sc = jax.device_put(lo, device), jax.device_put(sc, device)
-                pred_d, mf_d = fused_cache[key](cube, lo, sc, rgb, valid)
+                    rgb_extra = [jax.device_put(a, device) for a in rgb_extra]
+                pred_d, mf_d = fused_cache[key](cube, *extra, rgb, *rgb_extra, valid)
             else:
                 pred_d, mf_d = fused_cache[key](cube, rgb, valid)
             pred, mf = np.asarray(pred_d), np.asarray(mf_d)

@@ -185,7 +185,7 @@ def test_fused_pallas_no_weights(synthetic_radiance):
     assert np.corrcoef(a, bb)[0, 1] > 0.9999
 
 
-def assert_bf16_detection_equivalent(a, b, thr=500.0, decisive_factor=2.0):
+def assert_bf16_detection_equivalent(a, b, thr=500.0):
     """bf16-stream acceptance criterion vs the f32 result ``a``.
 
     The L1-reweighted filter's regularizer 1/(mf + eps) amplifies rounding on
@@ -193,14 +193,11 @@ def assert_bf16_detection_equivalent(a, b, thr=500.0, decisive_factor=2.0):
     lands within ~2x of the detection threshold can flip either way under a
     half-precision stream (init-numerics dust moves WHICH ones flip run to
     run). The meaningful contract is therefore: perfect mask agreement for
-    every decisively-classified pixel (outside the
-    [thr/decisive_factor, decisive_factor*thr] band), >=99.5% agreement
-    overall, and small relative error on true detections. Coarser input
-    grids widen the band a flip can come from — ``decisive_factor`` lets a
-    caller widen the exempt band accordingly.
+    every decisively-classified pixel (outside the [thr/2, 2*thr] band),
+    >=99.5% agreement overall, and small relative error on true detections.
     """
     mask_a, mask_b = a > thr, b > thr
-    decisive = (a < thr / decisive_factor) | (a > decisive_factor * thr)
+    decisive = (a < thr / 2.0) | (a > 2.0 * thr)
     np.testing.assert_array_equal(mask_a[decisive], mask_b[decisive])
     assert (mask_a == mask_b).mean() > 0.995
     big = a > 2 * thr

@@ -128,3 +128,27 @@ def test_quantize_pack12_numpy_fallback_matches(monkeypatch):
     rt_n = _unpack12(packed_n, lo_n, scale)
     rt_f = _unpack12(packed_f, lo_n, scale)
     assert np.all(np.abs(rt_n - rt_f) <= scale + 1e-7)
+
+
+def test_quantize_pack12_out_of_range_clamps():
+    """Pixels far outside the [lo, lo+4095*scale] grid clamp to the grid ends.
+
+    The exported C API has no masked-pixel precondition: a near-constant band
+    gets its scale floored at 1e-12, so an out-of-range pixel (fill sentinel,
+    masked spike) maps to ~1e16 grid steps — the native kernel must clamp in
+    FLOAT before the int cast (casting out-of-int32-range floats is UB) and
+    agree with the numpy fallback's clip."""
+    cube = np.full((4, 4, 2), 5.0, np.float32)
+    cube[0, 0, 0] = 1.0e9    # huge positive spike -> 4095, not int-cast UB
+    cube[1, 1, 1] = -1.0e9   # huge negative -> 0
+    lo = np.array([5.0, 5.0], np.float32)
+    scale = np.array([1e-12, 1e-12], np.float32)  # floored near-constant band
+    packed = nio.quantize_pack12(cube, lo, scale)
+    rt_steps = (
+        packed[0].astype(np.uint16) | ((packed[1].astype(np.uint16) & 0xF) << 8),
+        (packed[1].astype(np.uint16) >> 4) | (packed[2].astype(np.uint16) << 4),
+    )
+    q = np.stack(rt_steps, axis=-1).reshape(4, 4, 2)
+    assert q[0, 0, 0] == 4095
+    assert q[1, 1, 1] == 0
+    assert np.all((q >= 0) & (q <= 4095))

@@ -235,7 +235,7 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
     apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
 
-    outs = {}
+    outs, preds = {}, {}
     for tag, up in (
         ("f32", None),
         ("u12", "u12"),
@@ -251,6 +251,7 @@ def test_pipeline_narrow_upload_detection(tmp_path):
         # fill-marked corner stays NODATA under every codec
         assert np.all(res.outputs["mag1c"][:2, :2] == -9999.0)
         outs[tag] = res.outputs["mag1c"].ravel()
+        preds[tag] = res.outputs["prediction"].ravel()
 
     a = outs["f32"]
     assert (a > 1000).sum() > 50  # the scene carries decisive detections
@@ -279,3 +280,75 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     thr = 500.0
     agree = ((a > thr) == (outs["bf16"] > thr)).mean()
     assert agree >= 0.985
+
+    # Model predictions: under u12/u16 the RGB planes also ride the wire as
+    # per-band affine u16 — probabilities must stay equivalent to the f32
+    # pipeline (u16 tight everywhere; u12 inherits the mag1c channel's rare
+    # borderline flips, so its contract is mean-error + 0.5-mask agreement).
+    pf = preds["f32"]
+    assert np.abs(preds["u16"] - pf).max() < 0.02
+    assert np.abs(preds["u12"] - pf).mean() < 1e-3
+    assert ((preds["u12"] > 0.5) == (pf > 0.5)).mean() >= 0.999
+
+
+def test_pipeline_u12_odd_band_tail(tmp_path):
+    """u12 upload with an ODD selected band count: band pairs pack 2-per-3-
+    bytes, and the last unpaired band rides as a separate f32 plane
+    (``q_tail``) re-concatenated inside the fused program
+    (serve/pipeline.py ``has_tail`` branch). Real EMIT wavelength grids can
+    select odd counts, so this pins the tail path against regression."""
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+
+    # This grid selects 49 bands in the default [2122, 2488] nm window.
+    wl = np.arange(2104.0, 2490.0, 7.4)
+    swir = (wl >= 2122) & (wl <= 2488)
+    assert int(swir.sum()) % 2 == 1, "test premise: odd selected band count"
+    template = generate_template_from_bands(wl[swir], np.full_like(wl[swir], 8.5))[:, 1]
+    scene = synthetic_scene(np.random.default_rng(5), 96, 64, n_plumes=2,
+                            template=template)
+    cube = np.random.default_rng(11).uniform(
+        1, 8, size=(96, 64, len(wl))
+    ).astype(np.float32)
+    cube[..., swir] = scene["radiance"]
+    cube[:2, :2, :] = -9999.0
+    path = tmp_path / "EMIT_odd_0.nc"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    outs = {}
+    for tag, up in (("f32", None), ("u12", "u12")):
+        pipeline = emit_serving_pipeline(
+            apply_fn, str(tmp_path / tag), column_step=16, num_iter=5,
+            upload_dtype=up,
+        )
+        (res,) = pipeline.run([str(path)])
+        assert res.error is None
+        assert np.all(res.outputs["mag1c"][:2, :2] == -9999.0)
+        outs[tag] = res.outputs["mag1c"].ravel()
+
+    a = outs["f32"]
+    assert (a > 1000).sum() > 50  # decisive detections present
+    # Same count-based u12 contract as the even-band test.
+    thr = 500.0
+    assert ((a > thr) == (outs["u12"] > thr)).mean() >= 0.999
+    big = a > 1000
+    rel12 = np.abs(outs["u12"][big] - a[big]) / a[big]
+    assert np.median(rel12) < 5e-3
