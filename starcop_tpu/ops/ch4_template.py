@@ -74,12 +74,21 @@ def generate_template_from_bands(
     denom = np.sqrt(2.0 * np.pi * var)  # (K,)
     response = np.exp(-((wave[:, None] - centers[None, :]) ** 2) / (2.0 * var)) / denom  # (31800, K)
     colsum = response.sum(axis=0)
-    response = np.divide(response, colsum, where=colsum > 0)
+    # out=zeros: ``where=`` alone leaves the masked slots UNINITIALIZED
+    # (np.empty garbage) — a band with no SRF overlap on the LUT grid
+    # (colsum == 0) would otherwise produce nondeterministic template
+    # values. The reference carries the same hazard (mag1c.py:88-91);
+    # zeros make the out-of-grid bands a deterministic zero spectrum.
+    response = np.divide(
+        response, colsum, out=np.zeros_like(response), where=colsum > 0
+    )
 
     # Resample LUT radiances onto the band set, then least-squares fit
     # log(radiance) = a + slope * concentration per band.
     resampled = rads @ response  # (7, K)
-    lograd = np.log(resampled, where=resampled > 0)
+    lograd = np.log(
+        resampled, out=np.zeros_like(resampled), where=resampled > 0
+    )
     lsqmat = np.stack((np.ones_like(concentrations), concentrations)).T  # (7, 2)
     slope, _, _, _ = np.linalg.lstsq(lsqmat, lograd, rcond=None)  # (2, K)
     spectrum = slope[1, :] * SCALING

@@ -168,87 +168,6 @@ def blocked_transpose(
     )(scene4)
 
 
-def _blocked_transpose3d_kernel(x_ref, out_ref, *, step, s_out):
-    # x_ref: (Th, W, S) scene slab (the jit parameter read in place) ->
-    # out_ref: (1, S_out, Th*step) rows of column block b = program_id(1).
-    th, _w, s = x_ref.shape
-    b = pl.program_id(1)
-    xb = x_ref[:, pl.ds(b * step, step), :]  # (Th, step, S)
-    x = jnp.transpose(xb.reshape(th * step, s))
-    if s_out != s:
-        x = jnp.concatenate(
-            [x, jnp.zeros((s_out - s, th * step), x.dtype)], axis=0
-        )
-    out_ref[0] = x
-
-
-def blocked_transpose3d(
-    scene: jax.Array, nb: int, step: int, *, pad_s: Optional[int] = None,
-    interpret: bool = False
-) -> Optional[jax.Array]:
-    """(H, nb*step, S) scene -> (nb, S', H*step) streaming layout, reading
-    the 3D scene parameter IN PLACE.
-
-    Same output as :func:`blocked_transpose`, minus that kernel's hidden
-    cost: its (H, nb, step, S) input view makes XLA materialize a re-tiled
-    copy of the whole cube first (reshape + copy, measured ~2.9 ms of the
-    full matched filter's ~11 ms device time on an EMIT-sized scene —
-    the single largest fixed cost). Here the input block is (Th, W, S) —
-    full trailing dims, so the jit parameter streams into VMEM with zero
-    preparatory XLA passes — and each grid step carves its column block
-    with a dynamic sublane slice.
-
-    Grid is (H/Th, nb) with the slab index constant in b, so Mosaic keeps
-    one slab resident across all nb column blocks. Th must divide H with
-    Th*step lane-aligned; W*S VMEM budget bounds Th. Returns None when no
-    such tile exists (caller falls back to :func:`blocked_transpose`).
-    """
-    h, w, s = scene.shape
-    if w != nb * step:
-        raise ValueError("scene width must equal nb*step")
-    s_out = s if pad_s is None else int(pad_s)
-    if s_out < s:
-        raise ValueError("pad_s must be >= the scene band count")
-    # Slab VMEM cost uses the PHYSICAL tile-padded extents ((8, 128) on the
-    # trailing (W, S) dims — S ~ 50 bands pads to 128 lanes), double-buffered.
-    w_pad = -(-w // 8) * 8
-    s_pad = -(-s // 128) * 128
-    budget = 45 * 1024 * 1024
-    tile_h = None
-    for th in range(min(h, 512), 0, -1):
-        if h % th:
-            continue
-        if th * w_pad * s_pad * 4 > budget:
-            continue
-        if (th * step) % 128 == 0 or th == h:
-            tile_h = th
-            break
-    if tile_h is None:
-        return None
-
-    return pl.pallas_call(
-        functools.partial(_blocked_transpose3d_kernel, step=step, s_out=s_out),
-        grid=(h // tile_h, nb),
-        in_specs=[
-            pl.BlockSpec(
-                (tile_h, w, s), lambda ht, b: (ht, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, s_out, tile_h * step), lambda ht, b: (b, 0, ht),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((nb, s_out, h * step), scene.dtype),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=0, bytes_accessed=h * w * (s_pad + s_out) * 4, transcendentals=0
-        ),
-    )(scene)
-
-
 def _blocked_transpose_swh_kernel(
     x_any, out_ref, xbuf, sems, *, nb, step, s, ext, off_max, prefetch
 ):
@@ -336,14 +255,13 @@ def blocked_transpose_swh(
         return None
     # DMA sublane offsets must be provably 8-aligned: windows align down
     # (residual shift <= 7 undone by an in-kernel roll) and widen to cover
-    # step + shift rows. Interpret mode has no physical tile padding, so
-    # windows clamp to the logical row count there (shift <= ext - step,
-    # which the widened ext covers in both regimes).
-    ext = step if step % 8 == 0 else (-(-step // 8) * 8 + 8)
-    w_phys = w if interpret else -(-w // 8) * 8
-    off_max = w_phys - ext
-    if off_max < 0:
+    # step + shift rows. See _swh_geometry for the w % 8 interpret-mode
+    # decline: without physical tile padding the clamped trailing windows
+    # can leave a block's columns outside the fetched slab.
+    geo = _swh_geometry(step, w, interpret)
+    if geo is None:
         return None
+    ext, off_max = geo
     slab = s * ext * h * 4
     out_blk = s_out * step * h * 4
     if 2 * (slab + out_blk) > 100 * 1024 * 1024:
@@ -416,14 +334,17 @@ def blocked_transpose_shw(
     s_out = s if pad_s is None else int(pad_s)
     if s_out < s:
         raise ValueError("pad_s must be >= the scene band count")
-    # VMEM: double-buffered input slab (lane-padded W) + output block.
+    # VMEM: BOTH the input slab and the output block are pipeline-managed
+    # (double-buffered) — budgeting only the slab let large-W scenes pass
+    # the check and then fail Mosaic's VMEM allocation instead of falling
+    # back to XLA as the contract promises.
     w_pad = -(-w // 128) * 128
-    budget = 40 * 1024 * 1024
+    budget = 50 * 1024 * 1024  # x2 buffering ~= the 110 MB vmem_limit
     tile_h = None
     for th in range(min(h, 512), 0, -1):
         if h % th:
             continue
-        if s * th * w_pad * 4 > budget:
+        if (s * th * w_pad + nb * s_out * th * step) * 4 > budget:
             continue
         if (th * step) % 128 == 0 or th == h:
             tile_h = th
@@ -548,7 +469,9 @@ def _fused_iter_kernel(
 
 
 def _make_fused_iter(b: int, p: int, s: int, tile_p: int, cov_scale: float, interpret: bool,
-                     stream_dtype=jnp.float32, woodbury: bool = False):
+                     woodbury: bool = False):
+    # Note: the streamed dtype is implicit in the xs array the returned
+    # callable receives (BlockSpecs carry no dtype) — no parameter needed.
     npt = p // tile_p
     grid = (b, npt)
     kernel = functools.partial(_fused_iter_kernel, cov_scale=cov_scale, woodbury=woodbury)
@@ -1432,7 +1355,17 @@ def _resident_swh_kernel(
 
 def _swh_geometry(step, w, interpret):
     """(ext, off_max) for the aligned-slab DMA scheme, or None when the
-    widened window cannot fit the (physical) width."""
+    widened window cannot fit the (physical) width.
+
+    The scheme's invariant is shift = b*step - floor8-clamped-offset
+    <= ext - step for every block. On hardware the physical width is
+    tile-padded to a multiple of 8, which makes the clamp (w_phys - ext)
+    8-aligned and the invariant provable. Interpret mode has no tile
+    padding: with w % 8 != 0 the clamp floors a further 1-7 rows down and
+    trailing blocks can shift past the fetched slab (the roll then WRAPS —
+    silently wrong data), so decline and let the caller fall back."""
+    if interpret and w % 8:
+        return None
     ext = step if step % 8 == 0 else (-(-step // 8) * 8 + 8)
     w_phys = w if interpret else -(-w // 8) * 8
     off_max = w_phys - ext
@@ -1821,9 +1754,6 @@ def acrwl1mf_fused(
             if tile_p is None:
                 weights = jnp.ones((b, p0), jnp.float32)
                 unweighted = False
-                # Keep the caller's tile size (lane-aligned): resetting to
-                # DEFAULT_TILE_P would pad a small non-aligned P (e.g. 130)
-                # up to 63x, inflating every streaming iteration.
                 tile_p = -(-requested_tile_p // 128) * 128
 
         if unweighted:
@@ -1832,6 +1762,12 @@ def acrwl1mf_fused(
             n = jnp.full((b, 1), float(p0), jnp.float32)
         else:
             w = jnp.asarray(weights, jnp.float32)
+            # Cap the tile at ceil128(P): with the default 13824 tile a
+            # small block (e.g. EMIT step=2 -> P0=2560) would pad to a full
+            # tile and every streaming iteration would DMA + compute up to
+            # ~100x phantom pixels. One tile of ceil128(P) keeps padding
+            # under one lane group.
+            tile_p = min(tile_p, -(-p0 // 128) * 128)
             p = -(-p0 // tile_p) * tile_p
             if p != p0:
                 x = jnp.pad(x, ((0, 0), (0, p - p0), (0, 0)))
@@ -2008,7 +1944,7 @@ def acrwl1mf_fused(
 
     fused = _make_fused_iter(
         b, p, s, tile_p, covariance_update_scaling, interpret,
-        stream_dtype=stream_dtype, woodbury=(glue == "woodbury"),
+        woodbury=(glue == "woodbury"),
     )
 
     if glue == "woodbury":

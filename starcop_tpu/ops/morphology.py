@@ -8,10 +8,11 @@ batched under vmap/pjit:
 
   * dilation: conv(x, k) > 0          (outside-of-image counts as 0)
   * erosion:  conv(x, k) >= support   (support = conv(ones, k); outside of the
-    image never erodes, matching kornia's border semantics)
+    image never erodes, matching BOTH kornia's and scikit-image's border
+    semantics — skimage.morphology.binary_erosion pads with True)
 
-Pass ``border_value=0`` to get scikit-image's convention instead (borders
-erode).
+Pass ``border_value=0`` to get scipy.ndimage's default convention instead
+(out-of-image counts as background, so borders erode).
 """
 
 from __future__ import annotations
@@ -47,8 +48,9 @@ def dilation(x: jax.Array, kernel: jax.Array = None) -> jax.Array:
 def erosion(x: jax.Array, kernel: jax.Array = None, border_value: int = 1) -> jax.Array:
     """Binary erosion of (..., H, W) by a structuring element. Returns bool.
 
-    border_value=1 (default) matches kornia: out-of-image pixels never erode.
-    border_value=0 matches scikit-image: borders erode.
+    border_value=1 (default) matches kornia AND scikit-image
+    (binary_erosion pads with True): out-of-image pixels never erode.
+    border_value=0 matches scipy.ndimage's default: borders erode.
     """
     k = jnp.asarray(CROSS_KERNEL if kernel is None else kernel)
     xin = jnp.asarray(x, jnp.float32)

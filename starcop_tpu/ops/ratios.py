@@ -69,7 +69,16 @@ def _ols_fit_predict(x: jax.Array, y: jax.Array) -> jax.Array:
     xc = x - xm
     yc = y - ym
     gram = xc.T @ xc
-    coef = jnp.linalg.solve(gram + 1e-12 * jnp.eye(x.shape[1], dtype=x.dtype), xc.T @ yc)
+    k = x.shape[1]
+    # Ridge jitter scaled by the gram's mean eigenvalue: an absolute 1e-12
+    # is below f32 resolution for any realistically-scaled gram, so a
+    # rank-deficient regressor set (constant band, duplicated band) made
+    # solve() return NaN across the whole product where sklearn's lstsq
+    # yields a valid minimum-norm fit. At ~1e-6 relative the jitter is
+    # invisible for well-posed fits and regularizes singular ones to
+    # predictions matching the minimum-norm solution.
+    eps = 1e-6 * (jnp.trace(gram) / k) + 1e-30
+    coef = jnp.linalg.solve(gram + eps * jnp.eye(k, dtype=x.dtype), xc.T @ yc)
     return (x - xm) @ coef + ym
 
 

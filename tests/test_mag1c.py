@@ -719,3 +719,55 @@ def test_spd_inverse_recursive(synthetic_radiance):
         k = np.asarray(m.spd_inverse_recursive(jnp.asarray(c.astype(np.float32))))
         np.testing.assert_allclose(k @ c, np.broadcast_to(np.eye(s), c.shape),
                                    atol=5e-5 * np.linalg.cond(c).max())
+
+
+def test_swh_routes_decline_unaligned_width_interpret():
+    """Interpret-mode slab-DMA routes must DECLINE (fall back) when W % 8 != 0.
+
+    Without physical tile padding the floor8-clamped trailing slab windows
+    can leave a block's columns outside the fetched slab and the in-kernel
+    roll WRAPS — silently wrong trailing blocks (verified geometry: W=100,
+    step=2 puts block 48 at columns 80-81 instead of 96-97). The wrappers
+    must return None so mag1c_column_blocks composes the safe route, which
+    must match plain XLA end to end."""
+    from starcop_tpu.ops.mag1c_pallas import (
+        acrwl1mf_resident_swh,
+        blocked_transpose_swh,
+    )
+
+    rng = np.random.default_rng(13)
+    h, w, s = 128, 100, 12  # W % 8 == 4, step % 8 == 2
+    step = 2
+    nb = w // step
+    template = -np.abs(np.sin(np.linspace(0.3, 3 * np.pi, s)))
+    base = rng.uniform(2.0, 6.0, size=(1, 1, s))
+    x = rng.uniform(0.5, 2.0, (h, w, 1)) * base * (
+        1 + 0.02 * rng.normal(size=(h, w, s))
+    )
+    xd = jnp.asarray(x, jnp.float32)
+    tpl = jnp.asarray(template, jnp.float32)
+
+    swh = jnp.transpose(xd, (2, 1, 0))
+    assert acrwl1mf_resident_swh(
+        swh, tpl, nb, step, num_iter=2, alpha=1e-4, interpret=True
+    ) is None
+    assert blocked_transpose_swh(swh, nb, step, interpret=True) is None
+
+    # End to end: the pallas composition on the declining geometry still
+    # matches the XLA path (it must route through a safe shuffle).
+    mf_p, alb_p = m.mag1c_column_blocks(
+        xd, tpl, None, column_step=step, num_iter=2, alpha=1e-4,
+        use_pallas=True, interpret=True,
+    )
+    mf_x, alb_x = m.mag1c_column_blocks(
+        xd, tpl, None, column_step=step, num_iter=2, alpha=1e-4,
+        use_pallas=False,
+    )
+    # Same contract as test_resident_swh_direct_matches_xla's integrated
+    # check: tiny per-block statistics amplify f32-vs-f64 reweighting noise,
+    # so pin correlation + detections + albedo rather than strict allclose.
+    a = np.asarray(mf_x).ravel()
+    bb = np.asarray(mf_p).ravel()
+    assert np.corrcoef(a, bb)[0, 1] > 0.999
+    assert ((a > 500) == (bb > 500)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(alb_p), np.asarray(alb_x), rtol=1e-4)

@@ -266,3 +266,47 @@ def test_config_roundtrip(tmp_path):
     cfg2 = Config.from_yaml(str(p))
     assert cfg2.model.lr == 3e-4
     assert cfg2.dataset.training_size == (128, 128)
+
+
+def test_mlr_rank_deficient_matches_sklearn(rng):
+    """A singular regressor gram (duplicated band + a constant band) must
+    still yield finite predictions matching sklearn's minimum-norm lstsq —
+    the absolute 1e-12 jitter was below f32 resolution, so solve() returned
+    NaN across the whole MLR product for such inputs."""
+    from sklearn.linear_model import LinearRegression
+
+    shape = (24, 24)
+    b0 = rng.uniform(0.2, 1.5, size=shape)
+    b1 = rng.uniform(0.2, 1.5, size=shape)
+    bands = [b0, b1, b0.copy(), np.full(shape, 0.7)]  # duplicate + constant
+    target = 0.4 * b0 + 0.3 * b1 + 0.05 + rng.normal(0, 0.01, shape)
+
+    got = np.asarray(
+        ratios.ratio_mlr_local(
+            [jnp.asarray(b) for b in bands], jnp.asarray(target), division="residual"
+        )
+    )
+    assert np.isfinite(got).all()
+
+    x = np.stack([b.flatten() for b in bands], axis=1)
+    lr = LinearRegression().fit(x, target.flatten())
+    recon = lr.predict(x).reshape(shape)
+    want = (target - recon) / (recon + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_template_out_of_grid_band_deterministic():
+    """Bands whose Gaussian SRF has no overlap with the 1399.6-2522 nm LUT
+    grid must get a DETERMINISTIC zero spectrum — np.divide/np.log with
+    ``where=`` but no ``out=`` left those slots as uninitialized memory
+    (different values run to run)."""
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+
+    centers = np.array([450.0, 2300.0])  # visible band: zero SRF overlap
+    fwhm = np.array([5.0, 8.0])
+    t1 = generate_template_from_bands(centers, fwhm)
+    t2 = generate_template_from_bands(centers, fwhm)
+    np.testing.assert_array_equal(t1, t2)
+    assert np.isfinite(t1).all()
+    assert t1[0, 1] == 0.0  # out-of-grid band: zero absorption slope
+    assert t1[1, 1] < 0.0  # in-grid CH4 band keeps its absorption
