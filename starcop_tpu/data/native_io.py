@@ -11,11 +11,14 @@ Build: ``make -C cpp`` (done lazily on first use when g++ is available).
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 _REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 _LIB_PATH = os.path.join(_REPO_ROOT, "cpp", "libstarcop_io.so")
@@ -33,11 +36,26 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    # Run make unconditionally: it is a no-op when the library is newer than
-    # the source, and rebuilds a stale .so after a source edit (the old code
-    # only built when the .so was absent, so edits never took effect).
+    # Build when the library is missing OR older than the source (the old
+    # code only built when the .so was absent, so edits never took effect).
+    # The mtime check — not an unconditional make — keeps process startup
+    # free of a fork/exec when the library is current and shrinks the
+    # window in which concurrent processes rebuild the same file (the
+    # Makefile additionally compiles to a PID-suffixed temp and renames, so
+    # a loader never maps a half-written library).
     makefile = os.path.join(_REPO_ROOT, "cpp", "Makefile")
-    if os.path.exists(makefile):
+    src = os.path.join(_REPO_ROOT, "cpp", "starcop_io.cpp")
+    try:
+        needs_build = os.path.exists(makefile) and (
+            not os.path.exists(_LIB_PATH)
+            or (
+                os.path.exists(src)
+                and os.stat(src).st_mtime > os.stat(_LIB_PATH).st_mtime
+            )
+        )
+    except OSError:
+        needs_build = os.path.exists(makefile)
+    if needs_build:
         try:
             subprocess.run(
                 ["make", "-C", os.path.dirname(makefile)],
@@ -45,11 +63,26 @@ def _load() -> Optional[ctypes.CDLL]:
                 capture_output=True,
                 timeout=120,
             )
-        except (subprocess.SubprocessError, OSError):
-            pass  # fall through: load a pre-built library if one exists
+        except subprocess.CalledProcessError as e:
+            # A silent failure here would load the STALE library — the exact
+            # divergence class the mtime check exists to prevent. Fall
+            # through (a pre-built library may still be usable) but say so.
+            stderr = (e.stderr or b"").decode(errors="replace")[-2000:]
+            logger.warning("native IO rebuild failed; using the existing "
+                           "library or numpy fallback. Compiler said:\n%s", stderr)
+        except (subprocess.SubprocessError, OSError) as e:
+            logger.warning("native IO rebuild did not run (%s); using the "
+                           "existing library or numpy fallback", e)
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        # E.g. a truncated .so from a killed build: degrade to numpy rather
+        # than crashing every caller (the module contract is transparent
+        # fallback).
+        logger.warning("could not load %s (%s); using numpy fallback", _LIB_PATH, e)
+        return None
     lib.starcop_read_window.restype = ctypes.c_int
     lib.starcop_read_windows_batch.restype = ctypes.c_int
     lib.starcop_file_size.restype = ctypes.c_int64
@@ -153,11 +186,15 @@ def band_minmax(
             raise OSError(f"starcop_band_minmax failed: {rc}")
         return lo, hi
     flat = cube.reshape(n_px, s)
-    if valid is None:
-        return flat.min(axis=0), flat.max(axis=0)
-    v = valid.astype(bool)[:, None]
-    lo = np.where(v, flat, np.inf).min(axis=0)
-    hi = np.where(v, flat, -np.inf).max(axis=0)
+    # Match the native kernel's NaN semantics: NaN comparisons are false in
+    # C++, so NaN values never contribute to the range (a plain .min() here
+    # would propagate NaN and pin the whole band to (0, 1), flattening every
+    # real radiance to one quantization level on the wire).
+    contrib = ~np.isnan(flat)
+    if valid is not None:
+        contrib &= valid.astype(bool)[:, None]
+    lo = np.where(contrib, flat, np.inf).min(axis=0)
+    hi = np.where(contrib, flat, -np.inf).max(axis=0)
     ok = np.isfinite(lo) & np.isfinite(hi)
     return (
         np.where(ok, lo, 0.0).astype(np.float32),
@@ -207,7 +244,12 @@ def quantize_pack12(
         if rc != 0:
             raise OSError(f"starcop_quantize_pack12 failed: {rc}")
         return out
-    q = np.clip(np.rint((cube - lo) * inv_scale), 0, 4095).astype(np.uint16)
+    # nan_to_num BEFORE the uint16 cast: np.clip propagates NaN and casting
+    # NaN to an int type is platform-dependent; the native kernel maps NaN
+    # to 0 deterministically (cpp/starcop_io.cpp clamp), so match it.
+    q = np.nan_to_num(
+        np.clip(np.rint((cube - lo) * inv_scale), 0, 4095), nan=0.0
+    ).astype(np.uint16)
     q0, q1 = q[..., 0::2], q[..., 1::2]
     out = np.empty(out_shape, np.uint8)
     out[0] = q0 & 0xFF

@@ -283,12 +283,11 @@ def emit_serving_pipeline(
             # affine u16 (50% of the f32 bytes; ~1e-4 relative error, far
             # inside the model's bf16-compute tolerance). On this link the
             # f32 RGB was ~90-180 ms/scene of upload for 3 of 53 bands.
-            v3 = valid[None]
-            r_lo = np.where(v3, rgb, np.inf).min(axis=(1, 2))
-            r_hi = np.where(v3, rgb, -np.inf).max(axis=(1, 2))
-            ok = np.isfinite(r_lo) & np.isfinite(r_hi)  # all-invalid planes
-            r_lo = np.where(ok, r_lo, 0.0).astype(np.float32)
-            r_hi = np.where(ok, r_hi, 1.0)
+            # band_minmax carries the valid-masking / all-invalid-pin / NaN
+            # semantics in ONE place (and the fused threaded native pass).
+            from starcop_tpu.data import native_io
+
+            r_lo, r_hi = native_io.band_minmax(np.moveaxis(rgb, 0, -1), valid)
             r_scale = np.maximum((r_hi - r_lo) / 65535.0, 1e-12).astype(np.float32)
             rgb = np.clip(
                 np.rint((rgb - r_lo[:, None, None]) / r_scale[:, None, None]),

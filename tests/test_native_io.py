@@ -152,3 +152,33 @@ def test_quantize_pack12_out_of_range_clamps():
     assert q[0, 0, 0] == 4095
     assert q[1, 1, 1] == 0
     assert np.all((q >= 0) & (q <= 4095))
+
+
+def test_band_minmax_nan_semantics_match_native(monkeypatch):
+    """A NaN at a VALID pixel must not poison the band range: the native
+    kernel skips NaN (C++ comparisons are false), so the numpy fallback must
+    too — a propagated NaN would pin the band to (0, 1) and downstream
+    quantization would flatten every real radiance to one level."""
+    rng = np.random.default_rng(7)
+    cube = rng.uniform(10, 80, size=(20, 15, 4)).astype(np.float32)
+    cube[3, 3, 1] = np.nan  # NaN on an otherwise-valid pixel
+    valid = np.ones((20, 15), bool)
+    expected_lo = np.nanmin(cube.reshape(-1, 4), axis=0)
+    expected_hi = np.nanmax(cube.reshape(-1, 4), axis=0)
+
+    lo_n, hi_n = nio.band_minmax(cube, valid)
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", True)
+    lo_f, hi_f = nio.band_minmax(cube, valid)
+    for lo, hi in ((lo_n, hi_n), (lo_f, hi_f)):
+        np.testing.assert_allclose(lo, expected_lo)
+        np.testing.assert_allclose(hi, expected_hi)
+
+    # NaN input to the pack: deterministic 0 on both paths (never a raw
+    # int cast of NaN).
+    scale = np.maximum((hi_f - lo_f) / 4095.0, 1e-12).astype(np.float32)
+    packed_f = nio.quantize_pack12(cube, lo_f, scale)
+    q0 = packed_f[0].astype(np.uint16) | ((packed_f[1].astype(np.uint16) & 0xF) << 8)
+    q1 = (packed_f[1].astype(np.uint16) >> 4) | (packed_f[2].astype(np.uint16) << 4)
+    q = np.stack([q0, q1], axis=-1).reshape(20, 15, 4)
+    assert q[3, 3, 1] == 0
