@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": "emit_full_scene_mag1c_latency", "value": <seconds>,
    "unit": "s", "vs_baseline": <speedup over the CPU float64 reference>,
-   "extras": {eval_tiles_per_sec[_b32|_bf16w][_median],
+   "extras": {eval_tiles_per_sec[_bf16w][_bf16w_b32][_median],
               emit_granule_to_mask_ms, train_steps_per_sec[_bf16][_median],
               mag1c_device_ms / mag1c_tflops / mag1c_pct_peak_bf16_mxu /
               mag1c_hbm_gbps, serve_scenes_per_sec[_median] /

@@ -74,6 +74,22 @@ class EMITRawScene:
         self.glt_x = np.asarray(loc["glt_x"][:]) if loc is not None and "glt_x" in loc else None
         self.glt_y = np.asarray(loc["glt_y"][:]) if loc is not None and "glt_y" in loc else None
         self.transform, self.crs_epsg = _parse_geo_attrs(self._f)
+        self._full: Optional[np.ndarray] = None
+
+    def _cube(self) -> Optional[np.ndarray]:
+        """Full radiance cube, read ONCE and cached — but only for CHUNKED
+        datasets. Real EMIT granules are chunked with every band in each
+        chunk and zlib-compressed, so ANY band-subset read decompresses the
+        whole file: the reference's read pattern (band-window read + three
+        single-band RGB reads, mirrored by ``read_bands``/``read_rgb``) pays
+        four full decompressions per granule (~4x measured). For contiguous
+        uncompressed datasets partial hyperslab reads are cheap and the full
+        cube can be large (f32 EMIT granule ~1.8 GB), so no cache is kept."""
+        if self.radiance.chunks is None:
+            return None
+        if self._full is None:
+            self._full = np.asarray(self.radiance[...], np.float32)
+        return self._full
 
     def band_slice(self, wavelength_range: Tuple[float, float] = DEFAULT_WAVELENGTH_RANGE):
         sel = (self.wavelengths >= wavelength_range[0]) & (self.wavelengths <= wavelength_range[1])
@@ -82,11 +98,17 @@ class EMITRawScene:
         return sel
 
     def read_bands(self, selection: np.ndarray) -> np.ndarray:
+        full = self._cube()
+        if full is not None:
+            return np.ascontiguousarray(full[:, :, selection])
         return np.asarray(self.radiance[:, :, selection], np.float32)
 
     def read_rgb(self) -> np.ndarray:
         """(rows, cols, 3) at the nearest bands to 640/550/460 nm."""
         idx = [int(np.argmin(np.abs(self.wavelengths - w))) for w in EMIT_RGB_WAVELENGTHS]
+        full = self._cube()
+        if full is not None:
+            return np.ascontiguousarray(full[:, :, idx])
         return np.stack([np.asarray(self.radiance[:, :, i], np.float32) for i in idx], axis=-1)
 
     def invalid_mask(self, data: np.ndarray) -> np.ndarray:
@@ -100,6 +122,7 @@ class EMITRawScene:
         return glt_gather(self.glt_x, self.glt_y, raster, fill)
 
     def close(self):
+        self._full = None
         self._f.close()
 
 

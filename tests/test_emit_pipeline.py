@@ -81,6 +81,45 @@ def test_raw_scene_reader(fake_granule):
     s.close()
 
 
+def test_raw_scene_reader_chunked_parity(fake_granule, tmp_path):
+    """Chunked (real-EMIT-layout) granules read the dataset ONCE.
+
+    Real EMIT L1B granules are chunked with every band in each chunk and
+    zlib-compressed, so any band-subset read decompresses the whole file;
+    the reader caches one full read there (measured ~4x fewer decompression
+    sweeps for the read_bands + read_rgb pattern). Outputs must be
+    bit-identical to the contiguous (uncached, partial-read) path."""
+    path, _ = fake_granule
+    with h5py.File(path, "r") as f:
+        cube = np.asarray(f["radiance"][...], np.float32)
+        wl = np.asarray(f["sensor_band_parameters"]["wavelengths"][:])
+        fwhm = np.asarray(f["sensor_band_parameters"]["fwhm"][:])
+    chunked = tmp_path / "EMIT_chunked.nc"
+    with h5py.File(chunked, "w") as f:
+        d = f.create_dataset(
+            "radiance", data=cube,
+            chunks=(32, cube.shape[1], cube.shape[2]),
+            compression="gzip", compression_opts=1,
+        )
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=fwhm)
+
+    ref, new = EMITRawScene(path), EMITRawScene(str(chunked))
+    assert ref.radiance.chunks is None and ref._cube() is None  # contiguous: no cache
+    assert new.radiance.chunks is not None
+    sel = new.band_slice()
+    np.testing.assert_array_equal(new.read_bands(sel), ref.read_bands(sel))
+    assert new._full is not None  # the one cached full read
+    np.testing.assert_array_equal(new.read_rgb(), ref.read_rgb())
+    # C-contiguity is part of the contract (native codec + device_put fast paths)
+    assert new.read_bands(sel).flags.c_contiguous and new.read_rgb().flags.c_contiguous
+    new.close()
+    assert new._full is None  # close releases the (potentially ~GB) cache
+    ref.close()
+
+
 def test_emit_mag1c_detects_plume(fake_granule):
     path, scene = fake_granule
     s = EMITRawScene(path)
