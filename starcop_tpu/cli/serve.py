@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=1,
                    help="serve scenes round-robin across N chips (scene-level "
                         "data parallelism; linear scaling, zero collectives)")
+    p.add_argument("--compress-outputs", type=int, default=0, metavar="LEVEL",
+                   help="DEFLATE level (1-9) for the output GeoTIFFs; default "
+                        "0 = uncompressed. f32 plume rasters are mostly "
+                        "zlib-incompressible, so level 6 costs ~400 ms/scene "
+                        "of writer CPU for ~10-40%% size — compress offline "
+                        "if archiving")
     args = p.parse_args(argv)
 
     from starcop_tpu.utils import enable_persistent_compilation_cache
@@ -72,6 +78,7 @@ def main(argv=None):
         devices=jax.devices()[: args.devices] if args.devices > 1 else None,
         upload_dtype={"f32": None, "u12": "u12", "u16": jnp.uint16,
                       "bf16": jnp.bfloat16}[args.upload],
+        compress_outputs=args.compress_outputs,
     )
 
     processed = set()

@@ -156,8 +156,17 @@ def emit_serving_pipeline(
     stream_dtype=None,
     devices: Optional[List] = None,
     upload_dtype=None,
+    compress_outputs=False,
 ) -> ScenePipeline:
     """Ready-made pipeline: raw EMIT granule paths -> mag1c + plume masks.
+
+    ``compress_outputs``: DEFLATE setting for the output GeoTIFFs (bool or
+    zlib level, see ``write_geotiff``). Default OFF for serving: the f32
+    plume/mag1c rasters are mostly zlib-incompressible (prediction tiles
+    compress ~0.9x even at level 6), so level-6 DEFLATE costs ~100 ms of
+    writer CPU per product for almost no size win — ~400 ms/scene that
+    competes with the reader and the tunnel client for host CPU on the
+    serving host. Pass ``True`` (or a level) for archival deliverables.
 
     Device compute materializes results to numpy inside the compute stage
     (forcing completion so the pipeline's backpressure reflects real device
@@ -436,6 +445,7 @@ def emit_serving_pipeline(
                 crs_epsg=crs_epsg if on_ortho_grid else None,
                 nodata=nodata.get(key),
                 descriptions=["CH4 Absorption (ppm x m)" if "mag1c" in key else "plume probability"],
+                compress=compress_outputs,
             )
 
     if multi:

@@ -8,6 +8,8 @@ with an external TIFF implementation (PIL) both ways, and that the chip
 cache / dataset layers thread geo metadata through.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -113,6 +115,25 @@ def test_uncompressed_mode(tmp_path, rng):
     write_geotiff(path, arr, compress=False)
     back, _ = read_geotiff(path)
     np.testing.assert_array_equal(back[0], arr)
+
+
+def test_integer_compress_level(tmp_path, rng):
+    """``compress`` as an int zlib level: lossless round trip at every level,
+    and the file header declares DEFLATE (8) for levels >= 1 / none (1) for 0.
+    Level only trades writer CPU for size (serving passes 0/False)."""
+    arr = rng.uniform(size=(3, 200, 160)).astype(np.float32)
+    sizes = {}
+    for level in (0, 1, 6):
+        path = str(tmp_path / f"lvl{level}.tif")
+        write_geotiff(path, arr, compress=level)
+        back, _ = read_geotiff(path)
+        np.testing.assert_array_equal(back, arr)
+        sizes[level] = os.path.getsize(path)
+    # Uncompressed must be the largest; compressed levels must not exceed it
+    # by more than tile framing (random f32 barely compresses, so only the
+    # ordering — not a ratio — is asserted).
+    assert sizes[1] <= sizes[0]
+    assert sizes[6] <= sizes[0]
 
 
 def test_save_load_raster_dispatch(tmp_path, rng):
