@@ -348,7 +348,7 @@ def collect(quick: bool = False, deadline_ts: float = None):
     return results
 
 
-def _serve_throughput(model, variables, quick: bool = False):
+def _serve_throughput(model, variables, quick: bool = False, upload: str = "u10"):
     """Steady-state serving throughput: N synthetic EMIT granules (h5) through
     ``emit_serving_pipeline`` — read/compute/write stages overlapped, so this
     driver-verifies the serving runtime's overlap claim (VERDICT r2 #7).
@@ -393,16 +393,18 @@ def _serve_throughput(model, variables, quick: bool = False):
             paths.append(path)
 
         out_dir = _os.path.join(tmp, "out")
-        # The u12 upload codec is the production config for this link: the
+        # A packed-upload codec is the production config for this link: the
         # host->device upload is the dominant per-scene cost (measured ~25-30
-        # MB/s tunnel; 80 MB f32 cube), and u12 ships 37.5% of the bytes at
-        # pinned detection fidelity (serve/pipeline.py docstring).
+        # MB/s tunnel; 80 MB f32 cube). Default u10 ships 31.25% of the f32
+        # bytes at pinned detection fidelity (serve/pipeline.py docstring);
+        # the upload IS the serve wall once writes went uncompressed, so the
+        # last bits are the throughput (docs/PROFILE.md stage table).
         pipeline = emit_serving_pipeline(
             lambda x: model.apply(variables, x, train=False),
             out_dir,
             column_step=52 if quick else 54,
             num_iter=30,
-            upload_dtype="u12",
+            upload_dtype=upload,
         )
         pipeline.run(paths[:1])  # warm the fused program (compile outside timing)
         # Best + median of 3 timed passes: the pipeline's host stages (h5
@@ -426,7 +428,7 @@ def _serve_throughput(model, variables, quick: bool = False):
         stages = stage_meds[int(np.argmin(walls))]
         return [
             {"metric": "serve_scenes_per_sec", "value": round(n_scenes / wall, 2),
-             "unit": f"scenes/s ({h_s}x{w_s}, u12 upload, incl. h5 read + tif write)"},
+             "unit": f"scenes/s ({h_s}x{w_s}, {upload} upload, incl. h5 read + tif write)"},
             {"metric": "serve_scenes_per_sec_median", "value": round(n_scenes / float(np.median(walls)), 2),
              "unit": "scenes/s"},
             {"metric": "serve_mpx_per_sec", "value": round(n_scenes * h_s * w_s / wall / 1e6, 1),

@@ -224,4 +224,67 @@ int starcop_quantize_pack12(const float* cube, int64_t n_px, int32_t s,
   return 0;
 }
 
+// Quantize q = clamp(rint((x - lo) * inv_scale), 0, 1023) and pack PIXEL
+// groups (4g, 4g+1, 4g+2, 4g+3) of the same band into 5 bytes, written as
+// FIVE planes of (n_groups, S) u8 at out + k*n_groups*S for k in 0..4:
+//   p0 = q0 & 0xff
+//   p1 = (q0 >> 8) | ((q1 & 0x3f) << 2)
+//   p2 = (q1 >> 6) | ((q2 & 0x0f) << 4)
+//   p3 = (q2 >> 4) | ((q3 & 0x03) << 6)
+//   p4 = q3 >> 2
+// Grouping along PIXELS (not bands, unlike pack12) means any band count S
+// packs without padding; a trailing partial pixel group (n_px % 4 != 0)
+// carries q=0 for the missing pixels and the device slices them off. The
+// device unpacks with shifts/masks (see serve/pipeline.py). Parallel over
+// group stripes.
+int starcop_quantize_pack10(const float* cube, int64_t n_px, int32_t s,
+                            const float* lo, const float* inv_scale,
+                            uint8_t* out, int32_t n_threads) {
+  if (n_px <= 0 || s <= 0) return -EINVAL;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
+  const int64_t n_groups = (n_px + 3) / 4;
+  if (static_cast<int64_t>(nt) > n_groups) nt = static_cast<int>(n_groups);
+
+  const int64_t plane = n_groups * s;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  const int64_t stripe = (n_groups + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      const int64_t g0 = t * stripe;
+      const int64_t g1 = std::min(n_groups, g0 + stripe);
+      for (int64_t g = g0; g < g1; ++g) {
+        const int64_t p_base = 4 * g;
+        const int n_in = static_cast<int>(std::min<int64_t>(4, n_px - p_base));
+        const float* rows[4];
+        for (int i = 0; i < 4; ++i)
+          rows[i] = cube + (p_base + (i < n_in ? i : 0)) * s;
+        uint8_t* o0 = out + g * s;
+        uint8_t* o1 = o0 + plane;
+        uint8_t* o2 = o1 + plane;
+        uint8_t* o3 = o2 + plane;
+        uint8_t* o4 = o3 + plane;
+        for (int32_t b = 0; b < s; ++b) {
+          int32_t q[4];
+          for (int i = 0; i < 4; ++i) {
+            // Clamp in float BEFORE the int cast (UB + NaN determinism, as
+            // in pack12); pad pixels of a trailing partial group carry 0.
+            float f = (rows[i][b] - lo[b]) * inv_scale[b];
+            f = f > 0.0f ? (f < 1023.0f ? f : 1023.0f) : 0.0f;
+            q[i] = (i < n_in) ? static_cast<int32_t>(f + 0.5f) : 0;
+          }
+          o0[b] = static_cast<uint8_t>(q[0] & 0xff);
+          o1[b] = static_cast<uint8_t>((q[0] >> 8) | ((q[1] & 0x3f) << 2));
+          o2[b] = static_cast<uint8_t>((q[1] >> 6) | ((q[2] & 0x0f) << 4));
+          o3[b] = static_cast<uint8_t>((q[2] >> 4) | ((q[3] & 0x03) << 6));
+          o4[b] = static_cast<uint8_t>(q[3] >> 2);
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -30,12 +30,15 @@ def main(argv=None):
     p.add_argument("--bf16-stream", action="store_true",
                    help="bf16 matched-filter streaming (~15%% faster scenes; "
                         "detection fidelity pinned by tests/test_mag1c.py)")
-    p.add_argument("--upload", choices=("f32", "u12", "u16", "bf16"), default="f32",
+    p.add_argument("--upload", choices=("f32", "u12", "u10", "u16", "bf16"), default="f32",
                    help="radiance upload codec: u12 = per-band affine 12-bit "
                         "packed 2-per-3-bytes (37.5%% of f32 bytes — the "
                         "recommended production config on bandwidth-limited "
                         "links, u16-grade error, fidelity pinned by "
-                        "tests/test_serve.py), u16 = per-band affine "
+                        "tests/test_serve.py), u10 = 10-bit pixel quads "
+                        "packed 4-per-5-bytes (31.25%% of f32 bytes, one "
+                        "less bit of headroom — for links where the upload "
+                        "is the measured wall), u16 = per-band affine "
                         "quantization, bf16 = plain rounding — both halve the "
                         "per-scene host->device bytes. bf16 trades ~1%% "
                         "borderline-pixel flips for zero host-side "
@@ -76,8 +79,8 @@ def main(argv=None):
         georeference=args.georeference,
         stream_dtype=jnp.bfloat16 if args.bf16_stream else None,
         devices=jax.devices()[: args.devices] if args.devices > 1 else None,
-        upload_dtype={"f32": None, "u12": "u12", "u16": jnp.uint16,
-                      "bf16": jnp.bfloat16}[args.upload],
+        upload_dtype={"f32": None, "u12": "u12", "u10": "u10",
+                      "u16": jnp.uint16, "bf16": jnp.bfloat16}[args.upload],
         compress_outputs=args.compress_outputs,
     )
 

@@ -88,7 +88,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.starcop_file_size.restype = ctypes.c_int64
     # Upload-codec entry points are absent in a stale pre-built library;
     # treat them as optional so the numpy fallback keeps working.
-    for fn in ("starcop_band_minmax", "starcop_quantize_pack12"):
+    for fn in ("starcop_band_minmax", "starcop_quantize_pack12",
+               "starcop_quantize_pack10"):
         if hasattr(lib, fn):
             getattr(lib, fn).restype = ctypes.c_int
     _lib = lib
@@ -255,6 +256,74 @@ def quantize_pack12(
     out[0] = q0 & 0xFF
     out[1] = (q0 >> 8).astype(np.uint8) | ((q1 & 0xF) << 4).astype(np.uint8)
     out[2] = (q1 >> 4).astype(np.uint8)
+    return out
+
+
+def quantize_pack10(
+    cube: np.ndarray,
+    lo: np.ndarray,
+    scale: np.ndarray,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Per-band affine 10-bit quantization, PIXEL quads packed 4 values/5 bytes.
+
+    cube: (..., S) float32, any S; lo/scale: (S,) affine grid per band
+    (q = clamp(rint((x - lo)/scale), 0, 1023)). Pixels are flattened and
+    grouped in quads along the pixel axis (so no band padding is ever
+    needed, unlike the band-pair pack12); a trailing partial quad carries
+    q=0 pads the device slices off. Returns a (5, n_groups, S) uint8 array
+    of byte planes with n_groups = ceil(n_px / 4):
+
+        p0 = q0 & 0xff
+        p1 = (q0 >> 8) | ((q1 & 0x3f) << 2)
+        p2 = (q1 >> 6) | ((q2 & 0x0f) << 4)
+        p3 = (q2 >> 4) | ((q3 & 0x03) << 6)
+        p4 = q3 >> 2
+
+    — the wire format of the serving pipeline's 'u10' upload codec (5/6 of
+    u12's bytes; unpacked on device, see serve/pipeline.py). Native path is
+    one fused threaded pass; numpy fallback vectorizes the same math
+    (rounding may differ by one step on exact-half grid points).
+    """
+    cube = np.ascontiguousarray(cube, np.float32)
+    s = cube.shape[-1]
+    n_px = int(np.prod(cube.shape[:-1]))
+    n_groups = (n_px + 3) // 4
+    out_shape = (5, n_groups, s)
+    lo = np.ascontiguousarray(lo, np.float32)
+    inv_scale = np.ascontiguousarray(1.0 / np.asarray(scale, np.float32))
+    lib = _load()
+    if lib is not None and hasattr(lib, "starcop_quantize_pack10"):
+        out = np.empty(out_shape, np.uint8)
+        rc = lib.starcop_quantize_pack10(
+            cube.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_int64(n_px),
+            ctypes.c_int32(s),
+            lo.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            inv_scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(n_threads),
+        )
+        if rc != 0:
+            raise OSError(f"starcop_quantize_pack10 failed: {rc}")
+        return out
+    # NaN -> 0 deterministically, matching the native clamp (see pack12).
+    q = np.nan_to_num(
+        np.clip(np.rint((cube.reshape(n_px, s) - lo) * inv_scale), 0, 1023),
+        nan=0.0,
+    ).astype(np.uint16)
+    if n_px % 4:
+        q = np.concatenate(
+            [q, np.zeros((4 * n_groups - n_px, s), np.uint16)], axis=0
+        )
+    q = q.reshape(n_groups, 4, s)
+    q0, q1, q2, q3 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    out = np.empty(out_shape, np.uint8)
+    out[0] = q0 & 0xFF
+    out[1] = (q0 >> 8).astype(np.uint8) | ((q1 & 0x3F) << 2).astype(np.uint8)
+    out[2] = (q1 >> 6).astype(np.uint8) | ((q2 & 0x0F) << 4).astype(np.uint8)
+    out[3] = (q2 >> 4).astype(np.uint8) | ((q3 & 0x03) << 6).astype(np.uint8)
+    out[4] = (q3 >> 2).astype(np.uint8)
     return out
 
 

@@ -154,6 +154,73 @@ def test_quantize_pack12_out_of_range_clamps():
     assert np.all((q >= 0) & (q <= 4095))
 
 
+def _unpack10(packed, lo, scale, n_px):
+    """Test-side decoder of the u10 wire format (5 byte planes -> values)."""
+    b = packed.astype(np.uint16)  # (5, G, S)
+    q0 = b[0] | ((b[1] & 0x3) << 8)
+    q1 = (b[1] >> 2) | ((b[2] & 0xF) << 6)
+    q2 = (b[2] >> 4) | ((b[3] & 0x3F) << 4)
+    q3 = (b[3] >> 6) | (b[4] << 2)
+    q = np.stack([q0, q1, q2, q3], axis=1).reshape(-1, packed.shape[-1])[:n_px]
+    return q.astype(np.float32) * scale + lo
+
+
+def test_quantize_pack10_roundtrip():
+    """u10 wire format: any band count (no pad/tail cases — quads run along
+    pixels), half-step reconstruction bound, and a trailing PARTIAL pixel
+    quad (n_px % 4 != 0) round-trips the real pixels and zero-pads the rest."""
+    rng = np.random.default_rng(8)
+    for h, w, s in ((32, 24, 10), (32, 24, 9), (7, 5, 3)):  # 7*5=35 % 4 == 3
+        cube = rng.uniform(1, 8, size=(h, w, s)).astype(np.float32)
+        lo, hi = nio.band_minmax(cube)
+        scale = np.maximum((hi - lo) / 1023.0, 1e-12).astype(np.float32)
+        packed = nio.quantize_pack10(cube, lo, scale)
+        n_px = h * w
+        assert packed.shape == (5, (n_px + 3) // 4, s) and packed.dtype == np.uint8
+        rt = _unpack10(packed, lo, scale, n_px).reshape(h, w, s)
+        assert np.all(np.abs(rt - cube) <= scale * 0.51 + 1e-7)
+        if n_px % 4:
+            # pad pixels of the trailing partial quad carry q = 0
+            b = packed.astype(np.uint16)
+            q3 = (b[3][-1] >> 6) | (b[4][-1] << 2)
+            assert np.all(q3 == 0)
+
+
+def test_quantize_pack10_numpy_fallback_matches(monkeypatch):
+    rng = np.random.default_rng(9)
+    cube = rng.uniform(1, 8, size=(15, 11, 7)).astype(np.float32)  # 165 % 4 == 1
+    lo, hi = nio.band_minmax(cube)
+    scale = np.maximum((hi - lo) / 1023.0, 1e-12).astype(np.float32)
+    packed_n = nio.quantize_pack10(cube, lo, scale)
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", True)
+    packed_f = nio.quantize_pack10(cube, lo, scale)
+    # native rounds half-up, numpy rounds half-to-even: exact-half grid
+    # points may differ by one step; dequantized values by one scale step
+    n_px = 15 * 11
+    rt_n = _unpack10(packed_n, lo, scale, n_px)
+    rt_f = _unpack10(packed_f, lo, scale, n_px)
+    assert np.all(np.abs(rt_n - rt_f) <= scale + 1e-7)
+
+
+def test_quantize_pack10_out_of_range_and_nan():
+    """Same clamp/NaN determinism contract as pack12: out-of-grid pixels
+    clamp to the grid ends in FLOAT (no int-cast UB) and NaN maps to 0."""
+    cube = np.full((4, 5, 2), 5.0, np.float32)  # 20 px: full quads
+    cube[0, 0, 0] = 1.0e9
+    cube[1, 1, 1] = -1.0e9
+    cube[2, 2, 0] = np.nan
+    lo = np.array([5.0, 5.0], np.float32)
+    scale = np.array([1e-12, 1e-12], np.float32)
+    packed = nio.quantize_pack10(cube, lo, scale)
+    q = ((_unpack10(packed, np.zeros(2, np.float32), np.ones(2, np.float32), 20))
+         .reshape(4, 5, 2).astype(np.int32))
+    assert q[0, 0, 0] == 1023
+    assert q[1, 1, 1] == 0
+    assert q[2, 2, 0] == 0
+    assert np.all((q >= 0) & (q <= 1023))
+
+
 def test_band_minmax_nan_semantics_match_native(monkeypatch):
     """A NaN at a VALID pixel must not poison the band range: the native
     kernel skips NaN (C++ comparisons are false), so the numpy fallback must

@@ -239,6 +239,7 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     for tag, up in (
         ("f32", None),
         ("u12", "u12"),
+        ("u10", "u10"),
         ("u16", jnp.uint16),
         ("bf16", jnp.bfloat16),
     ):
@@ -276,8 +277,19 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     rel12 = np.abs(outs["u12"][big] - a[big]) / a[big]
     assert np.median(rel12) < 5e-3
 
+    # u10: same contract class as u12 with one less bit of headroom —
+    # count-based threshold-mask agreement and a 4x-of-u12 relative-error
+    # bound on true detections. At the production config (640x624 scene,
+    # 30 iterations) agreement measures 0.99980 — exactly u12's committed
+    # bar there; THIS fixture runs num_iter=5 on a 96x64 scene, where the
+    # barely-converged L1 reweighting leaves more borderline background
+    # pixels for the 4x-coarser grid to flip (measured 0.9969 vs u12's
+    # 0.9992 here), hence the looser bar.
+    assert ((a > thr) == (outs["u10"] > thr)).mean() >= 0.995
+    rel10 = np.abs(outs["u10"][big] - a[big]) / a[big]
+    assert np.median(rel10) < 2e-2
+
     # bf16: documented weaker contract
-    thr = 500.0
     agree = ((a > thr) == (outs["bf16"] > thr)).mean()
     assert agree >= 0.985
 
@@ -289,6 +301,11 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     assert np.abs(preds["u16"] - pf).max() < 0.02
     assert np.abs(preds["u12"] - pf).mean() < 1e-3
     assert ((preds["u12"] > 0.5) == (pf > 0.5)).mean() >= 0.999
+    # u10 inherits proportionally more of the mag1c channel's borderline
+    # flips (0.9961 measured here at num_iter=5; see the mask-agreement
+    # comment above).
+    assert np.abs(preds["u10"] - pf).mean() < 2e-3
+    assert ((preds["u10"] > 0.5) == (pf > 0.5)).mean() >= 0.995
 
 
 def test_pipeline_u12_odd_band_tail(tmp_path):
