@@ -47,6 +47,7 @@ def main(argv=None):
                    help="serve scenes round-robin across N chips (scene-level "
                         "data parallelism; linear scaling, zero collectives)")
     p.add_argument("--compress-outputs", type=int, default=0, metavar="LEVEL",
+                   choices=range(0, 10),
                    help="DEFLATE level (1-9) for the output GeoTIFFs; default "
                         "0 = uncompressed. f32 plume rasters are mostly "
                         "zlib-incompressible, so level 6 costs ~400 ms/scene "

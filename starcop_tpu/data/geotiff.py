@@ -222,6 +222,9 @@ def write_geotiff(
     classic TIFF's 4 GB offset ceiling — GDAL's ``BIGTIFF=IF_SAFER`` behavior;
     ``True`` forces BigTIFF; ``False`` raises past 4 GB.
     """
+    if not isinstance(compress, bool) and not 0 <= int(compress) <= 9:
+        # Fail fast: zlib.compress would raise per-tile mid-write otherwise.
+        raise ValueError(f"compress must be a bool or a zlib level 0-9, got {compress}")
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None]

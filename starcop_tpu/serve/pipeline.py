@@ -296,8 +296,12 @@ def emit_serving_pipeline(
             cube = np.ascontiguousarray(cube, np.float32)
             lo, hi = native_io.band_minmax(cube, valid)
             scale = np.maximum((hi - lo) / 65535.0, 1e-12).astype(np.float32)
-            cube = np.clip(
-                np.rint((cube - lo) / scale), 0, 65535
+            # nan_to_num BEFORE the uint cast: float->uint of NaN is
+            # platform-undefined, and NaN survives clip/rint. Same
+            # "NaN maps to 0 deterministically" contract as the packed
+            # codecs (data/native_io.quantize_pack12/pack10).
+            cube = np.nan_to_num(
+                np.clip(np.rint((cube - lo) / scale), 0, 65535), nan=0.0
             ).astype(np.uint16)
             raw["q_lo"], raw["q_scale"] = lo, scale
         elif upload_dtype is not None:
@@ -322,9 +326,14 @@ def emit_serving_pipeline(
 
             r_lo, r_hi = native_io.band_minmax(np.moveaxis(rgb, 0, -1), valid)
             r_scale = np.maximum((r_hi - r_lo) / 65535.0, 1e-12).astype(np.float32)
-            rgb = np.clip(
-                np.rint((rgb - r_lo[:, None, None]) / r_scale[:, None, None]),
-                0, 65535,
+            # NaN -> 0 deterministically before the uint cast (see the u16
+            # cube branch above).
+            rgb = np.nan_to_num(
+                np.clip(
+                    np.rint((rgb - r_lo[:, None, None]) / r_scale[:, None, None]),
+                    0, 65535,
+                ),
+                nan=0.0,
             ).astype(np.uint16)
             raw["rgb_lo"], raw["rgb_scale"] = r_lo, r_scale
         raw.update({

@@ -386,3 +386,13 @@ def test_bigtiff_tile_beyond_4gb_sparse(tmp_path, rng):
         fh.write(arr.tobytes())
     back, _ = read_geotiff(path)
     np.testing.assert_array_equal(back[0], arr)
+
+
+def test_write_geotiff_rejects_bad_compress_level(tmp_path):
+    """An out-of-range zlib level fails fast at the call, not per-tile
+    mid-write (zlib.error after the file is partially laid out)."""
+    import pytest
+
+    arr = np.zeros((8, 8), np.float32)
+    with pytest.raises(ValueError, match="compress"):
+        write_geotiff(str(tmp_path / "x.tif"), arr, compress=10)

@@ -369,3 +369,62 @@ def test_pipeline_u12_odd_band_tail(tmp_path):
     big = a > 1000
     rel12 = np.abs(outs["u12"][big] - a[big]) / a[big]
     assert np.median(rel12) < 5e-3
+
+
+def test_pipeline_u16_wire_nan_determinism(tmp_path):
+    """A NaN at a VALID pixel must reach the u16 wire deterministically.
+
+    band_minmax already excludes NaN from the per-band (lo, hi), but the
+    quantization itself must nan_to_num BEFORE the uint16 cast: numpy's
+    float->uint cast of NaN is platform-undefined (RuntimeWarning + an
+    arbitrary value). Pins the same "NaN maps to grid point 0" contract the
+    packed codecs carry (data/native_io.quantize_pack12/pack10) for the u16
+    cube branch AND the shared RGB u16 wire (serve/pipeline.py)."""
+    import warnings
+
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    scene = synthetic_scene(np.random.default_rng(7), 64, 48, n_plumes=1)
+    cube = np.random.default_rng(13).uniform(
+        1, 8, size=(64, 48, len(wl))
+    ).astype(np.float32)
+    swir = (wl >= 2122) & (wl <= 2488)
+    idx = np.linspace(0, scene["radiance"].shape[-1] - 1, swir.sum()).astype(int)
+    cube[..., swir] = scene["radiance"][..., idx]
+    cube[10, 10, 5] = np.nan  # NaN at a VALID pixel (not fill-marked)
+    cube[12, 12, 2] = np.nan  # ... including in an RGB-window band
+    path = tmp_path / "EMIT_nan_0.nc"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    for tag, up in (("u16", jnp.uint16), ("u10", "u10")):
+        pipeline = emit_serving_pipeline(
+            apply_fn, str(tmp_path / tag), column_step=16, num_iter=3,
+            upload_dtype=up,
+        )
+        with warnings.catch_warnings():
+            # The undefined cast announces itself: make it a hard failure.
+            warnings.filterwarnings(
+                "error", message=".*invalid value encountered in cast.*"
+            )
+            (res,) = pipeline.run([str(path)])
+        assert res.error is None, (tag, res.error)
+        assert np.isfinite(res.outputs["prediction"]).all(), tag
