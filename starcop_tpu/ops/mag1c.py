@@ -131,9 +131,11 @@ def _energy_residual(x: jax.Array, mu: jax.Array, w, chol: jax.Array) -> jax.Arr
 def _cho_inverse(c: jax.Array) -> jax.Array:
     """Explicit SPD inverse via Cholesky. c: (B,S,S) -> (B,S,S).
 
-    Used by the fused matched filter's Woodbury glue: the base covariance is
-    inverted ONCE, then every iteration's rank-2-updated system is solved with
-    batched matvecs against this inverse (see mag1c_pallas.acrwl1mf_fused).
+    Accuracy comparator only: the matched filter's Woodbury glue inverts its
+    base covariance with ``spd_inverse_recursive`` (static batched matmuls —
+    lax.linalg's factor+solves lower to ~S-step sequential loops on TPU), and
+    tests pin that route's residual within 2x of this Cholesky one
+    (tests/test_mag1c.py::test_spd_inverse_recursive).
     """
     s = c.shape[-1]
     chol = jnp.linalg.cholesky(c)
@@ -559,8 +561,12 @@ def mag1c_column_blocks(
     if use_pallas is None:
         # Default to the Pallas-fused kernel on TPU at f32 (≈1.7x the XLA
         # path: one HBM read of the cube per iteration); XLA elsewhere.
+        # num_iter=0 (rmf init only) is an XLA-path contract the Pallas
+        # variants reject — see acrwl1mf_fused's guard.
         use_pallas = (
-            compute_dtype == jnp.float32 and jax.devices()[0].platform == "tpu"
+            compute_dtype == jnp.float32
+            and jax.devices()[0].platform == "tpu"
+            and num_iter >= 1
         )
 
     if use_pallas:

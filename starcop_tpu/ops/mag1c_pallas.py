@@ -46,7 +46,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -334,6 +333,13 @@ def blocked_transpose_shw(
     s_out = s if pad_s is None else int(pad_s)
     if s_out < s:
         raise ValueError("pad_s must be >= the scene band count")
+    if nb > 64:
+        # The kernel body unrolls a static Python loop over the nb column
+        # blocks (full-W slab reads keep the lane-axis DMA 128-aligned), so
+        # very narrow steps would trace nb slice/store groups per grid step
+        # into the Mosaic program — a compile-time blowup. The XLA reshape
+        # fallback is the better trade there.
+        return None
     # VMEM: BOTH the input slab and the output block are pipeline-managed
     # (double-buffered) — budgeting only the slab let large-W scenes pass
     # the check and then fail Mosaic's VMEM allocation instead of falling
@@ -532,42 +538,13 @@ def _k0_matvec(k0, v):
 
 def _glue_body(s1, mom, nin, target, m0, tmpl, k0, alpha,
                mu_out_ref, target_out_ref, cit_out_ref, norm_out_ref):
-    """In-kernel Woodbury rank-2 solve (same algebra as ``glue_woodbury``):
-    from the accumulated u = sum xc g and the moments of g, produce the next
-    iteration's (mu_c, target, cit, norm) carry. Runs once per batch entry,
-    at the final pixel tile."""
-    u = s1[:, :] * nin  # (S, 1) E[xc g]
-    gbar = mom[0, 0] * nin
-    beta = mom[1, 0] * nin - gbar * gbar  # Var(g)
-    mu_new = -target * gbar  # E[modx] = -t E[g]
-    target_new = tmpl * (m0 + mu_new)
-    w_t = _k0_matvec(k0, target)
-    w_u = _k0_matvec(k0, u)
-    g00 = jnp.sum(target * w_t)
-    g01 = jnp.sum(target * w_u)
-    g10 = jnp.sum(u * w_t)
-    g11 = jnp.sum(u * w_u)
-    sa = 1.0 - alpha
-    i00 = g00
-    i01 = g01 - 1.0 / sa
-    i10 = g10 - 1.0 / sa
-    i11 = g11 - beta / sa
-    det = i00 * i11 - i01 * i10
-
-    def a0inv(v):  # (S, 1) -> (c0 + sa U M U^T)^{-1} v
-        kv = _k0_matvec(k0, v)
-        y0 = jnp.sum(w_t * v)  # U^T K0 v (k0 symmetric)
-        y1 = jnp.sum(w_u * v)
-        x0 = (i11 * y0 - i01 * y1) / det
-        x1 = (-i10 * y0 + i00 * y1) / det
-        return kv - w_t * x0 - w_u * x1
-
-    z = a0inv(target_new)
-    if alpha:
-        # One Neumann term for the shrinkage-diagonal drift (see glue_woodbury).
-        d = beta * target * target - 2.0 * target * u
-        z = z - a0inv(alpha * d * z)
-    norm_new = jnp.maximum(jnp.sum(target_new * z), 1.0)
+    """In-kernel Woodbury rank-2 solve writing per-operand output refs (the
+    first/loop round kernels' layout). Runs once per batch entry, at the
+    final pixel tile; the algebra lives in ``_glue_math`` (one definition
+    for every glue variant)."""
+    mu_new, target_new, z, norm_new = _glue_math(
+        s1[:, :], mom[0, 0], mom[1, 0], nin, target, m0, tmpl, k0, alpha
+    )
     mu_out_ref[0] = mu_new
     target_out_ref[0] = target_new
     cit_out_ref[0] = z
@@ -844,6 +821,60 @@ def _mono_glue(s1, mom0, mom1, nin, target, m0, tmpl, k0, alpha, carry_out_ref):
     carry_out_ref[0] = jnp.concatenate(
         [mu_new, target_new, z, jnp.full((s, 1), norm_new, jnp.float32)], axis=1
     )
+
+
+def _woodbury_base(c0, m0, template, alpha):
+    """Once-per-filter Woodbury base from raw init statistics: shrink the
+    covariance diagonal, invert it (Schur recursion — static batched
+    HIGHEST-precision matmuls, see ``spd_inverse_recursive``), and derive
+    the initial target / cit / unclamped norm. ONE definition for every
+    Woodbury-family glue prologue — the streaming routes are required to
+    agree bit-for-bit, so the base must never drift between them.
+
+    c0: (B, S, S) raw covariance; m0: (B, S) mean; returns
+    ``(k0, tgt0, cit0, norm0)``.
+    """
+    c0s = _shrink_diag(c0, alpha)
+    k0 = spd_inverse_recursive(c0s)
+    tgt0 = template[None, :] * m0
+    cit0 = _k0_solve_refined(k0, c0s, tgt0)
+    norm0 = jnp.einsum("bs,bs->b", tgt0, cit0)
+    return k0, tgt0, cit0, norm0
+
+
+def _pack_glue_operands(m0, tgt0, cit0, norm0, k0, template, nin, sp):
+    """Pad the glue operands to ``sp`` bands and pack the streaming kernels'
+    operand blocks. Mosaic DMA slices must be sublane-aligned, so the band
+    dim pads to a multiple of 8; zero rows are algebraically inert through
+    every dot (m0/template/cit/k0 padded with zeros).
+
+        const  (B, sp, sp+2): [K0 | m0 | nin-column]
+        carry0 (B, sp, 4):    [mu=0 | target | cit | norm]
+        tmpl   (1, sp, 1)
+
+    ``nin`` is 1/n as a scalar or a per-batch (B,) vector (weighted blocks).
+    One packing site for the three Woodbury prologues (bsp mono/resident,
+    direct-swh, row-major mono/resident)."""
+    b, s = tgt0.shape
+    pad_s = sp - s
+    if pad_s:
+        k0 = jnp.pad(k0, ((0, 0), (0, pad_s), (0, pad_s)))
+        m0 = jnp.pad(m0, ((0, 0), (0, pad_s)))
+        tgt0 = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
+        cit0 = jnp.pad(cit0, ((0, 0), (0, pad_s)))
+        template = jnp.pad(template, (0, pad_s))
+    nin_col = jnp.zeros((b, sp, 1), jnp.float32).at[:, 0, 0].set(nin)
+    const = jnp.concatenate([k0, m0[:, :, None], nin_col], axis=2)
+    carry0 = jnp.concatenate(
+        [
+            jnp.zeros((b, sp, 1), jnp.float32),
+            tgt0[:, :, None],
+            cit0[:, :, None],
+            jnp.broadcast_to(norm0[:, None, None], (b, sp, 1)),
+        ],
+        axis=2,
+    )
+    return const, carry0, template[None, :, None]
 
 
 def _mono_first_kernel(
@@ -1407,6 +1438,12 @@ def acrwl1mf_resident_swh(
     through the nonlinear reweighting iterations made this path disagree
     with the (jitted) transpose + bsp route by up to 3%.
     """
+    if num_iter < 1:
+        # Same drop-in contract guard as acrwl1mf_fused: the resident
+        # kernel always applies one final mf evaluation, so num_iter=0
+        # belongs to the XLA ``acrwl1mf`` (rmf init result).
+        raise ValueError("num_iter must be >= 1 (use ops.mag1c.acrwl1mf for "
+                         "the num_iter=0 rmf-only result)")
     s, w, h = scene_swh.shape
     if w != nb * step:
         raise ValueError("scene width must equal nb*step")
@@ -1457,28 +1494,12 @@ def acrwl1mf_resident_swh(
         ),
     )(x)
 
-    # Same XLA glue as the bsp resident branch (tiny (nb, S, S) batch).
-    c0s = _shrink_diag(c0, alpha)
-    k0s = spd_inverse_recursive(c0s)
-    tgt0 = template[None, :] * m0[:, :, 0]
-    cit0 = _k0_solve_refined(k0s, c0s, tgt0)
-    norm0 = jnp.einsum("bs,bs->b", tgt0, cit0)
-    pad_s = sp - s
-    k0p = jnp.pad(k0s, ((0, 0), (0, pad_s), (0, pad_s)))
-    m0p = jnp.pad(m0, ((0, 0), (0, pad_s), (0, 0)))
-    tgt0p = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
-    cit0p = jnp.pad(cit0, ((0, 0), (0, pad_s)))
-    tpl_p = jnp.pad(template, (0, pad_s))
-    nin_col = jnp.zeros((nb, sp, 1), jnp.float32).at[:, 0, 0].set(1.0 / p)
-    const = jnp.concatenate([k0p, m0p, nin_col], axis=2)
-    carry0 = jnp.concatenate(
-        [
-            jnp.zeros((nb, sp, 1), jnp.float32),
-            tgt0p[:, :, None],
-            cit0p[:, :, None],
-            jnp.broadcast_to(norm0[:, None, None], (nb, sp, 1)),
-        ],
-        axis=2,
+    # Same XLA glue as the bsp resident branch (tiny (nb, S, S) batch) —
+    # shared helpers so the two routes cannot drift (they must agree
+    # bit-for-bit; see _woodbury_base / _pack_glue_operands).
+    k0s, tgt0, cit0, norm0 = _woodbury_base(c0, m0[:, :, 0], template, alpha)
+    const, carry0, tmpl_in = _pack_glue_operands(
+        m0[:, :, 0], tgt0, cit0, norm0, k0s, template, 1.0 / p, sp
     )
 
     row = lambda: pl.BlockSpec((1, 1, p), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM)
@@ -1515,7 +1536,7 @@ def acrwl1mf_resident_swh(
             bytes_accessed=nb * p * s * 4,
             transcendentals=0,
         ),
-    )(x, carry0, const, tpl_p[None, :, None])
+    )(x, carry0, const, tmpl_in)
     return (mf_row[:, 0, :, None] * SCALING), r_row[:, 0, :, None]
 
 
@@ -1636,6 +1657,13 @@ def acrwl1mf_fused(
     S_pad x P x dtype, to fit VMEM ~ 2 x 16 MB double-buffered). All are
     pinned against the f64 oracle by tests.
     """
+    if num_iter < 1:
+        # All fused variants run `num_iter - 1` loop rounds plus one final
+        # mf evaluation; num_iter=0 would silently apply one reweighting
+        # iteration, diverging from the drop-in contract (the XLA
+        # ``acrwl1mf`` returns the rmf init result for num_iter=0).
+        raise ValueError("num_iter must be >= 1 (use ops.mag1c.acrwl1mf for "
+                         "the num_iter=0 rmf-only result)")
     x = jnp.asarray(x, jnp.float32)
     template = jnp.asarray(template, jnp.float32)
 
@@ -1660,40 +1688,26 @@ def acrwl1mf_fused(
             # which case not even a pad pass touches it.
             xsp = x if s_in == sp else jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
             m0p, c0p = _make_init_stats_call(b, p0, sp, 1.0 / p0, interpret)(xsp)
-            c0s = _shrink_diag(c0p[:, :s, :s], alpha)
-            # Schur-recursion inverse (static batched matmuls): lax.linalg's
-            # Cholesky + two triangular solves lower to ~S-step sequential
-            # loops — a dominant fixed cost of the resident filter's init
-            # (see spd_inverse_recursive's rationale); residual pinned within
-            # 2x of the Cholesky route, and _k0_solve_refined's refinement
-            # step restores direct-solve accuracy for cit0 either way.
-            k0s = spd_inverse_recursive(c0s)
-            tgt0 = template[None, :] * m0p[:, :s, 0]
-            cit0 = _k0_solve_refined(k0s, c0s, tgt0)
-            norm0 = jnp.einsum("bs,bs->b", tgt0, cit0)
-            pad_s = sp - s
-            k0p = jnp.pad(k0s, ((0, 0), (0, pad_s), (0, pad_s)))
-            tgt0p = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
-            cit0p = jnp.pad(cit0, ((0, 0), (0, pad_s)))
-            tpl_p = jnp.pad(template, (0, pad_s))
+            # Schur-recursion inverse inside _woodbury_base (static batched
+            # matmuls): lax.linalg's Cholesky + two triangular solves lower
+            # to ~S-step sequential loops — a dominant fixed cost of the
+            # resident filter's init (see spd_inverse_recursive's
+            # rationale); residual pinned within 2x of the Cholesky route,
+            # and _k0_solve_refined's refinement step restores direct-solve
+            # accuracy for cit0 either way. m0p's padded rows are exactly 0
+            # (means of zero rows), so re-padding m0p[:, :s] is a no-op.
+            k0s, tgt0, cit0, norm0 = _woodbury_base(
+                c0p[:, :s, :s], m0p[:, :s, 0], template, alpha
+            )
             if stream_dtype == jnp.float32:
                 xs_run = xsp  # raw; kernels center in VMEM via m0
                 centered = False
             else:
                 xs_run = (xsp - m0p).astype(stream_dtype)
                 centered = True
-            nin_col = jnp.zeros((b, sp, 1), jnp.float32).at[:, 0, 0].set(1.0 / p0)
-            const = jnp.concatenate([k0p, m0p, nin_col], axis=2)
-            carry0 = jnp.concatenate(
-                [
-                    jnp.zeros((b, sp, 1), jnp.float32),
-                    tgt0p[:, :, None],
-                    cit0p[:, :, None],
-                    jnp.broadcast_to(norm0[:, None, None], (b, sp, 1)),
-                ],
-                axis=2,
+            const, carry0, tmpl_in = _pack_glue_operands(
+                m0p[:, :s, 0], tgt0, cit0, norm0, k0s, template, 1.0 / p0, sp
             )
-            tmpl_in = tpl_p[None, :, None]
             if glue == "resident":
                 res_call = _make_resident_call(
                     b, p0, sp, num_iter, covariance_update_scaling, alpha,
@@ -1834,32 +1848,16 @@ def acrwl1mf_fused(
             ch = _dividing_tile(p, min(tile_p, 13824))
             if ch is None:
                 raise ValueError("glue='mono' requires P with a 128-aligned divisor")
-        # Mosaic DMA slices must be sublane-aligned: pad the band dim to a
-        # multiple of 8. Zero rows are algebraically inert through every dot
-        # (m0/template/cit/k0 padded with zeros), so results are unchanged.
+        # Pad the streamed cube to sublane-aligned bands and pack the glue
+        # operand blocks (see _pack_glue_operands; zero band rows are
+        # algebraically inert, so results are unchanged).
         sp = -(-s // 8) * 8
-        m0_m, tgt0_m, cit0_m, tpl_m = m0, tgt0, cit0_vec, template
         if sp != s:
-            pad_s = sp - s
-            xs = jnp.pad(xs, ((0, 0), (0, pad_s), (0, 0)))
-            k0 = jnp.pad(k0, ((0, 0), (0, pad_s), (0, pad_s)))
-            m0_m = jnp.pad(m0, ((0, 0), (0, pad_s)))
-            tgt0_m = jnp.pad(tgt0, ((0, 0), (0, pad_s)))
-            cit0_m = jnp.pad(cit0_vec, ((0, 0), (0, pad_s)))
-            tpl_m = jnp.pad(template, (0, pad_s))
-        nin_col = jnp.zeros((b, sp, 1), jnp.float32).at[:, 0, 0].set(1.0 / n[:, 0])
-        const = jnp.concatenate([k0, m0_m[:, :, None], nin_col], axis=2)
-        carry0 = jnp.concatenate(
-            [
-                jnp.zeros((b, sp, 1), jnp.float32),  # mu (centered)
-                tgt0_m[:, :, None],  # target
-                cit0_m[:, :, None],  # cit
-                jnp.broadcast_to(norm0[:, None, None], (b, sp, 1)),  # norm (unclamped init)
-            ],
-            axis=2,
+            xs = jnp.pad(xs, ((0, 0), (0, sp - s), (0, 0)))
+        const, carry0, tmpl_in = _pack_glue_operands(
+            m0, tgt0, cit0_vec, norm0, k0, template, 1.0 / n[:, 0], sp
         )
         centered = not (x_layout == "bsp" and stream_dtype == jnp.float32)
-        tmpl_in = tpl_m[None, :, None]
         if glue == "resident":
             res_call = _make_resident_call(
                 b, p, sp, num_iter, covariance_update_scaling, alpha,

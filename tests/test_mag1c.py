@@ -771,3 +771,33 @@ def test_swh_routes_decline_unaligned_width_interpret():
     assert np.corrcoef(a, bb)[0, 1] > 0.999
     assert ((a > 500) == (bb > 500)).mean() > 0.999
     np.testing.assert_allclose(np.asarray(alb_p), np.asarray(alb_x), rtol=1e-4)
+
+
+def test_pallas_num_iter_zero_contract(synthetic_radiance):
+    """num_iter=0 (the rmf init result) is an XLA-path contract: every
+    Pallas variant applies one final mf evaluation after its loop, so it
+    must refuse num_iter=0 loudly instead of silently returning one
+    reweighting iteration. The column-block driver routes num_iter=0 to
+    the XLA path."""
+    from starcop_tpu.ops.mag1c_pallas import acrwl1mf_fused
+
+    x, template = synthetic_radiance
+    x32 = jnp.asarray(x, jnp.float32)
+    t32 = jnp.asarray(template, jnp.float32)
+    with pytest.raises(ValueError, match="num_iter must be >= 1"):
+        acrwl1mf_fused(x32, t32, None, num_iter=0, interpret=True)
+
+    # Driver: num_iter=0 falls back to XLA and equals acrwl1mf's result.
+    b, p, s = x.shape
+    h, w = p // 4, 4 * b  # restate the blocks as one (H, W, S) scene
+    scene = (
+        np.asarray(x32).reshape(b, h, 4, s).transpose(1, 0, 2, 3).reshape(h, w, s)
+    )
+    mf_blk, _ = m.acrwl1mf(x32, t32, num_iter=0, alpha=1e-4)
+    mf_scene, _ = m.mag1c_column_blocks(
+        jnp.asarray(scene), t32, column_step=4, num_iter=0, alpha=1e-4
+    )
+    expect = (
+        np.asarray(mf_blk)[..., 0].reshape(b, h, 4).transpose(1, 0, 2).reshape(h, w)
+    )
+    np.testing.assert_allclose(np.asarray(mf_scene), expect, rtol=1e-6, atol=1e-6)
