@@ -104,7 +104,7 @@ def _cho_solve_vec(c: jax.Array, b: jax.Array) -> jax.Array:
     return _solve_from_factor(jnp.linalg.cholesky(c), b)
 
 
-def _energy_residual(x: jax.Array, mu: jax.Array, w, chol: jax.Array) -> jax.Array:
+def _energy_residual(xm: jax.Array, w, chol: jax.Array) -> jax.Array:
     """The reference's per-iteration "energy" diagnostic, TPU-native.
 
     The reference materializes the full (B, P, P) product
@@ -112,7 +112,7 @@ def _energy_residual(x: jax.Array, mu: jax.Array, w, chol: jax.Array) -> jax.Arr
     (/root/reference/starcop/models/mag1c.py:271-274,338). Algebraically
     ``sum_{ij} xm_i^T C^{-1} xm_j == s^T C^{-1} s`` with ``s = sum_p xm_p``,
     so the O(P^2) intermediate is never needed — one row-sum and one (S,S)
-    triangular solve per batch entry.
+    triangular solve per batch entry. ``xm`` is the already-centered x - mu.
 
     Weighted deviation (documented): with a validity mask the reference still
     sums over ALL pixel rows, including invalid ones; here padding rows are
@@ -120,9 +120,7 @@ def _energy_residual(x: jax.Array, mu: jax.Array, w, chol: jax.Array) -> jax.Arr
     padded-batch layout. Exact parity holds for the unmasked production path.
     """
     xm_sum = (
-        jnp.sum(x - mu, axis=1)
-        if w is None
-        else jnp.einsum("bp,bps->bs", w, x - mu)
+        jnp.sum(xm, axis=1) if w is None else jnp.einsum("bp,bps->bs", w, xm)
     )  # (B, S)
     cinv_s = _solve_from_factor(chol, xm_sum)
     return jnp.einsum("bs,bs->", xm_sum, cinv_s)
@@ -308,10 +306,63 @@ def rmf(
     """
     w, n = _weighted_stats_dtype(x, weights)
     template = template.astype(x.dtype)
+    mu0 = _weighted_mean(x, w, n)  # (B, 1, S) pre-centering offset
+    xc = x - mu0
+    out = _rmf_core(
+        xc,
+        mu0,
+        template,
+        w,
+        n,
+        alpha=alpha,
+        zero_override=zero_override,
+        albedo_override=albedo_override,
+        compute_energy=compute_energy,
+    )
+    mf, r = out[0], out[1]
+    if compute_energy:
+        return mf, r, out[2]
+    if apply_scaling:
+        mf = mf * SCALING
+    return mf, r
 
-    mu = _weighted_mean(x, w, n)  # (B, 1, S)
-    target = template[None, None, :] * mu  # (B, 1, S)
-    x_minus_mu = x - mu
+
+def _rmf_core(
+    xc: jax.Array,
+    mu0: jax.Array,
+    template: jax.Array,
+    w,
+    n: jax.Array,
+    *,
+    alpha: float,
+    zero_override: bool,
+    albedo_override: bool,
+    compute_energy: bool,
+):
+    """Single-pass matched filter on a PRE-CENTERED cube.
+
+    ``xc = x - mu0`` with ``mu0`` the initial weighted mean (mu0 rides along
+    separately). Every statistic here — means, covariance accumulation, the
+    filter numerator — runs on the small-magnitude centered values, the same
+    numerics discipline as the Pallas kernels (ops/mag1c_pallas.py: the cube
+    is centered by the per-block initial mean before any accumulation). This
+    is what keeps the f32 XLA path stable under jit inlining: raw radiance
+    carries a large DC offset, and accumulating it in a different
+    fusion/summation order perturbs the near-singular covariance enough for
+    the Cholesky solve (condition ~1e4 after alpha shrinkage) to amplify
+    associativity noise to percent level (observed ~5% pre-fix; see
+    tests/test_mag1c.py::test_pallas_num_iter_zero_contract).
+
+    Returns ``(mf, r, extra)`` where ``extra`` is the scalar init energy when
+    ``compute_energy`` else the ``(target0, x_minus_mu-unused)`` None.
+    """
+    tpl = template[None, None, :]
+    # Residual mean of xc (zero up to mu0's own rounding): folding it back in
+    # keeps mu == weighted_mean(x) exactly in exact arithmetic.
+    delta = _weighted_mean(xc, w, n)
+    mu = mu0 + delta  # (B, 1, S)
+    target = tpl * mu  # (B, 1, S)
+    x_minus_mu = xc - delta
 
     c = _weighted_cov(x_minus_mu, w, n)
     c = _shrink_diag(c, alpha)
@@ -320,9 +371,14 @@ def rmf(
     normalizer = jnp.einsum("bs,bso->bo", target[:, 0, :], cit)[:, None, :]  # (B,1,1)
 
     if albedo_override:
-        r = jnp.ones(x.shape[:2] + (1,), dtype=x.dtype)
+        r = jnp.ones(xc.shape[:2] + (1,), dtype=xc.dtype)
     else:
-        r = jnp.einsum("bps,bs->bp", x, mu[:, 0, :])[..., None] / jnp.einsum(
+        # R = (x . mu) / (mu . mu) with x = xc + mu0: the varying (per-pixel)
+        # part contracts the centered cube; the DC part is one (B,) dot.
+        num = jnp.einsum("bps,bs->bp", xc, mu[:, 0, :]) + jnp.einsum(
+            "bs,bs->b", mu0[:, 0, :], mu[:, 0, :]
+        )[:, None]
+        r = num[..., None] / jnp.einsum(
             "bs,bs->b", mu[:, 0, :], mu[:, 0, :]
         )[:, None, None]
 
@@ -332,13 +388,11 @@ def rmf(
     if compute_energy:
         # Reference (mag1c.py:338-341): residual + N/2 * log(det(C)^{-1/2}),
         # with the det taken over the WHOLE batch (prod across b and s).
-        n_ref = float(x.shape[1])
+        n_ref = float(xc.shape[1])
         logdet = jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
-        energy = _energy_residual(x, mu, w, chol) - 0.5 * n_ref * logdet
+        energy = _energy_residual(x_minus_mu, w, chol) - 0.5 * n_ref * logdet
         return mf, r, energy
-    if apply_scaling:
-        mf = mf * SCALING
-    return mf, r
+    return mf, r, None
 
 
 @functools.partial(
@@ -395,18 +449,23 @@ def acrwl1mf(
     tpl = template[None, None, :]  # (1, 1, S)
     w3 = None if w is None else w[..., None]
 
-    out = rmf(
-        x,
+    # Pre-center ONCE by the initial weighted mean; every loop statistic
+    # (means, covariances, filter numerators) then accumulates the
+    # small-magnitude centered values — see _rmf_core's numerics note.
+    mu0 = _weighted_mean(x, w, n)  # (B, 1, S)
+    xc = x - mu0
+
+    mf, r, energy0 = _rmf_core(
+        xc,
+        mu0,
         template,
-        weights,
+        w,
+        n,
         alpha=alpha,
         zero_override=zero_override,
         albedo_override=albedo_override,
-        apply_scaling=False,
         compute_energy=compute_energy,
     )
-    mf, r = out[:2]
-    energy0 = out[2] if compute_energy else None
     # Invalid (weight-0) pixels can carry R == 0 (e.g. zero-filled padding),
     # which would inject inf/NaN through the 1/R regularizer. Their values are
     # masked out of every statistic and of the outputs, so pin R = 1 there.
@@ -414,16 +473,17 @@ def acrwl1mf(
         r = jnp.where(w3 > 0, r, 1.0)
         mf = jnp.where(w3 > 0, mf, 0.0)
 
-    target0 = tpl * _weighted_mean(x, w, n)  # (B, 1, S)
+    target0 = tpl * (mu0 + _weighted_mean(xc, w, n))  # (B, 1, S)
 
     def body(i, carry):
         mf, target, energies = carry
-        # Remove current detections from the background estimate.
-        modx = x - covariance_update_scaling * r * mf * target
-        mu = _weighted_mean(modx, w, n)
-        new_target = tpl * mu
-        modx_minus_mu = modx - mu
-        x_minus_mu = x - mu
+        # Remove current detections from the background estimate. In centered
+        # coordinates: modx - mu == (xc - corr) - dmu with mu == mu0 + dmu.
+        modxc = xc - covariance_update_scaling * r * mf * target
+        dmu = _weighted_mean(modxc, w, n)
+        new_target = tpl * (mu0 + dmu)
+        modx_minus_mu = modxc - dmu
+        x_minus_mu = xc - dmu
 
         c = _weighted_cov(modx_minus_mu, w, n)
         c = _shrink_diag(c, alpha)
@@ -432,7 +492,7 @@ def acrwl1mf(
         if compute_energy:
             # Per-iteration energy: residual only (reference mag1c.py:270-274
             # appends sum(norm_residual) with no det term inside the loop).
-            energies = energies.at[i + 1].set(_energy_residual(x, mu, w, chol))
+            energies = energies.at[i + 1].set(_energy_residual(x_minus_mu, w, chol))
 
         if sparse_override:
             regularizer = jnp.zeros_like(mf)
