@@ -46,6 +46,11 @@ class DatasetConfig:
     root_folder: str = ""
     train_csv: str = "train.csv"
     test_csv: str = "test.csv"
+    # Regression checkpoint powering the learned-ratio product
+    # (ratio_lrn_bands2band8only_60ep_512_l1). Empty = auto-discover
+    # model.model_folder/wv3_cnn_v2_bands2band8only_60ep_512_l1 (the
+    # reference's pretrained-experiment path, feature_extration.py:128).
+    learned_ratio_checkpoint: str = ""
 
 
 @dataclass

@@ -45,13 +45,23 @@ def _mlr_5in_simplediv(*bands):
 def _learned_ratio(*bands):
     """Learned-regression ratio (reference use_pretrained_model_b1to6_b8,
     feature_extration.py:127-175): reconstruct B8 from B1-B6 with a trained
-    regression CNN, then c-matched ratio. Requires a trained
-    ``SimpleCNNRegression`` checkpoint registered via
-    ``register_learned_ratio_model``."""
+    regression CNN, then c-matched ratio. The model comes from (first hit
+    wins, mirroring the reference's lazy global-singleton load):
+
+      1. an apply fn registered via ``register_learned_ratio_model``;
+      2. a checkpoint path registered via
+         ``register_learned_ratio_checkpoint`` (which config loading wires
+         from ``dataset.learned_ratio_checkpoint`` / ``model.model_folder`` —
+         see ``configure_learned_ratio_from_config``), built lazily here.
+    """
+    if _LEARNED_MODEL["apply"] is None and _LEARNED_MODEL["checkpoint"]:
+        _LEARNED_MODEL["apply"] = _build_learned_apply(_LEARNED_MODEL["checkpoint"])
     if _LEARNED_MODEL["apply"] is None:
         raise RuntimeError(
             "Learned ratio requires a registered regression model: call "
-            "starcop_tpu.data.features.register_learned_ratio_model(apply_fn)"
+            "starcop_tpu.data.features.register_learned_ratio_model(apply_fn), "
+            "register_learned_ratio_checkpoint(path), or set the "
+            "dataset.learned_ratio_checkpoint config key"
         )
     inputs = jnp.stack(bands[:6])[None]  # (1, 6, H, W)
     recon = _LEARNED_MODEL["apply"](inputs)[0, 0]
@@ -60,12 +70,76 @@ def _learned_ratio(*bands):
     return jnp.where(target == 0.0, -0.5, r)
 
 
-_LEARNED_MODEL: Dict[str, Callable] = {"apply": None}
+_LEARNED_MODEL: Dict[str, object] = {"apply": None, "checkpoint": None}
+
+#: Experiment folder name of the reference's pretrained WV3 B1-6 -> B8
+#: regressor (feature_extration.py:128: experiment_path
+#: "wv3_cnn_v2_bands2band8only_60ep_512_l1/..."); used as the model_folder
+#: auto-discovery subdirectory.
+LEARNED_RATIO_EXPERIMENT = "wv3_cnn_v2_bands2band8only_60ep_512_l1"
 
 
 def register_learned_ratio_model(apply_fn: Callable) -> None:
     """Register fn((1, 6, H, W)) -> (1, 1, H, W) for the learned-ratio product."""
     _LEARNED_MODEL["apply"] = apply_fn
+
+
+def register_learned_ratio_checkpoint(path: str) -> None:
+    """Record a regression checkpoint (npz/.pt/.ckpt file or experiment
+    folder); the model is built lazily on first product use (the reference
+    loads its GCS checkpoint the same way — feature_extration.py:129-147)."""
+    _LEARNED_MODEL["checkpoint"] = path
+    _LEARNED_MODEL["apply"] = None  # rebuild from the new checkpoint
+
+
+def configure_learned_ratio_from_config(cfg) -> bool:
+    """Wire the learned-ratio product from a Config: explicit
+    ``dataset.learned_ratio_checkpoint`` wins; else auto-discover
+    ``model.model_folder/<LEARNED_RATIO_EXPERIMENT>``. Returns True when a
+    checkpoint was registered."""
+    explicit = getattr(cfg.dataset, "learned_ratio_checkpoint", "")
+    if explicit:
+        register_learned_ratio_checkpoint(explicit)
+        return True
+    folder = getattr(cfg.model, "model_folder", "")
+    if folder:
+        candidate = os.path.join(folder, LEARNED_RATIO_EXPERIMENT)
+        if os.path.isdir(candidate):
+            register_learned_ratio_checkpoint(candidate)
+            return True
+    return False
+
+
+def _build_learned_apply(path: str) -> Callable:
+    """Build the (1, 6, H, W) -> (1, 1, H, W) apply from a checkpoint.
+
+    The regressor consumes RAW band values and predicts the raw B8 band
+    (RegressionModel(inhibit_normalisation=True) — the ratio downstream
+    compares the reconstruction against the raw target band, so a
+    normalized-domain output would change the product's scale)."""
+    import jax
+
+    from starcop_tpu.models.regression import RegressionModel
+    from starcop_tpu.setup_shims import load_pretrained_variables
+
+    model = RegressionModel(
+        [f"TOA_WV3_SWIR{i}" for i in (1, 2, 3, 4, 5, 6)],
+        ["TOA_WV3_SWIR8"],
+        model_type="cnn_regression",
+        inhibit_normalisation=True,
+    )
+    # npz-first folder resolution: the generic loader prefers torch .ckpt
+    # files, whose porting path targets the U-Net layout — a regression CNN
+    # checkpoint in this framework is an npz variable dump.
+    if os.path.isdir(path):
+        for candidate in ("best.npz", "final_checkpoint_model.npz", "model.npz"):
+            p = os.path.join(path, candidate)
+            if os.path.exists(p):
+                path = p
+                break
+    variables = load_pretrained_variables(path)
+    apply_jit = jax.jit(lambda x: model.apply(variables, x, train=False))
+    return apply_jit
 
 
 FEATURES: Dict[str, Dict] = {

@@ -17,6 +17,13 @@ from starcop_tpu.config import Config
 
 def get_dataset(cfg: Config):
     from starcop_tpu.data.datamodule import DataModule
+    from starcop_tpu.data.features import configure_learned_ratio_from_config
+
+    # Wire the learned-ratio product's regression checkpoint from the config
+    # (reference loads its pretrained model lazily inside the product fn —
+    # feature_extration.py:127-147; here the path comes from the config and
+    # the lazy load lives in data/features.py).
+    configure_learned_ratio_from_config(cfg)
 
     root = cfg.dataset.root_folder
     return DataModule(

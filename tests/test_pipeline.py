@@ -326,6 +326,72 @@ def test_extract_features_lazy(tmp_path):
         extract_features(["nope"], rows)
 
 
+def test_learned_ratio_from_config(tmp_path):
+    """The learned-ratio product works from a config alone: a regression
+    checkpoint registered via dataset.learned_ratio_checkpoint (or
+    auto-discovered under model.model_folder) is lazily built on first
+    extraction — reference use_pretrained_model_b1to6_b8 lazy GCS load
+    (feature_extration.py:127-175)."""
+    import jax
+
+    from starcop_tpu.config import Config
+    from starcop_tpu.data import features as feat
+    from starcop_tpu.models.regression import RegressionModel
+    from starcop_tpu.train.checkpoint import _flatten
+
+    rng = np.random.default_rng(1)
+    h = w = 32
+
+    # Train-shaped checkpoint: a tiny cnn_regression init dumped as npz.
+    model = RegressionModel(
+        [f"TOA_WV3_SWIR{i}" for i in (1, 2, 3, 4, 5, 6)],
+        ["TOA_WV3_SWIR8"],
+        model_type="cnn_regression",
+        inhibit_normalisation=True,
+    )
+    sample = np.ones((1, 6, h, w), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), sample)
+    exp_dir = tmp_path / "experiments" / feat.LEARNED_RATIO_EXPERIMENT
+    exp_dir.mkdir(parents=True)
+    flat = _flatten(variables["params"], "params/")
+    if "batch_stats" in variables:
+        flat.update(_flatten(variables["batch_stats"], "batch_stats/"))
+    np.savez(exp_dir / "best.npz", **flat)
+
+    # Tile folder with the product's 7 input bands.
+    folder = tmp_path / "tile0"
+    folder.mkdir()
+    product = "ratio_lrn_bands2band8only_60ep_512_l1"
+    for band in feat.FEATURES[product]["inputs"]:
+        np.save(folder / f"{band}.npy", rng.uniform(0.1, 1.0, (h, w)).astype(np.float32))
+    rows = [{"folder": str(folder)}]
+
+    saved = dict(feat._LEARNED_MODEL)
+    try:
+        feat._LEARNED_MODEL.update({"apply": None, "checkpoint": None})
+        # Unregistered: loud error naming the config key.
+        with pytest.raises(RuntimeError, match="learned_ratio_checkpoint"):
+            extract_from = feat.extract_features([product], rows)
+
+        # model_folder auto-discovery (reference experiment-path layout).
+        cfg = Config()
+        cfg.model.model_folder = str(tmp_path / "experiments")
+        assert feat.configure_learned_ratio_from_config(cfg)
+        assert feat.extract_features([product], rows) == 1
+        out = np.load(folder / f"{product}.npy")
+        assert out.shape == (h, w) and np.isfinite(out).all()
+
+        # Explicit checkpoint key wins and also works end to end.
+        (folder / f"{product}.npy").unlink()
+        feat._LEARNED_MODEL.update({"apply": None, "checkpoint": None})
+        cfg2 = Config()
+        cfg2.dataset.learned_ratio_checkpoint = str(exp_dir / "best.npz")
+        assert feat.configure_learned_ratio_from_config(cfg2)
+        assert feat.extract_features([product], rows) == 1
+    finally:
+        feat._LEARNED_MODEL.update(saved)
+
+
 def test_evaluate_cli_baseline(tmp_path):
     from starcop_tpu.cli.evaluate import main as eval_main
     from starcop_tpu.data.synthetic import write_synthetic_chip_dataset
