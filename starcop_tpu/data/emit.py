@@ -75,21 +75,49 @@ class EMITRawScene:
         self.glt_y = np.asarray(loc["glt_y"][:]) if loc is not None and "glt_y" in loc else None
         self.transform, self.crs_epsg = _parse_geo_attrs(self._f)
         self._full: Optional[np.ndarray] = None
+        self._full_bands: Optional[np.ndarray] = None
 
-    def _cube(self) -> Optional[np.ndarray]:
-        """Full radiance cube, read ONCE and cached — but only for CHUNKED
-        datasets. Real EMIT granules are chunked with every band in each
-        chunk and zlib-compressed, so ANY band-subset read decompresses the
-        whole file: the reference's read pattern (band-window read + three
-        single-band RGB reads, mirrored by ``read_bands``/``read_rgb``) pays
-        four full decompressions per granule (~4x measured). For contiguous
-        uncompressed datasets partial hyperslab reads are cheap and the full
-        cube can be large (f32 EMIT granule ~1.8 GB), so no cache is kept."""
+    def _rgb_band_indices(self) -> List[int]:
+        return [
+            int(np.argmin(np.abs(self.wavelengths - w)))
+            for w in EMIT_RGB_WAVELENGTHS
+        ]
+
+    def _cube_bands(self, idx: np.ndarray) -> Optional[np.ndarray]:
+        """Band-capped cache for CHUNKED datasets: (rows, cols, len(idx)).
+
+        Real EMIT granules are chunked with every band in each chunk and
+        zlib-compressed, so ANY band-subset read decompresses the whole
+        file: the reference's read pattern (band-window read + three
+        single-band RGB reads, mirrored by ``read_bands``/``read_rgb``)
+        pays four full decompressions per granule (~4x measured). Here the
+        first read decompresses ONCE and caches only the bands the pipeline
+        consumes — the requested indices plus the RGB picks and the default
+        matched-filter window (~60 of 285 bands, so steady-state RSS is
+        ~20% of the full f32 cube instead of ~1.8 GB per open granule;
+        peak transiently touches full + subset during that one read). A
+        later read outside the cached set pays one more full read and
+        re-caps to the widened union. For contiguous uncompressed datasets
+        partial hyperslab reads are cheap, so no cache is kept (returns
+        None)."""
         if self.radiance.chunks is None:
             return None
-        if self._full is None:
-            self._full = np.asarray(self.radiance[...], np.float32)
-        return self._full
+        idx = np.asarray(idx, np.int64)
+        if self._full is None or not np.isin(idx, self._full_bands).all():
+            keep = [idx, np.asarray(self._rgb_band_indices(), np.int64)]
+            default_sel = (self.wavelengths >= DEFAULT_WAVELENGTH_RANGE[0]) & (
+                self.wavelengths <= DEFAULT_WAVELENGTH_RANGE[1]
+            )
+            keep.append(np.where(default_sel)[0])
+            if self._full_bands is not None:
+                keep.append(self._full_bands)
+            bands = np.unique(np.concatenate(keep))
+            data = np.asarray(self.radiance[...], np.float32)  # the one full read
+            self._full = np.ascontiguousarray(data[:, :, bands])
+            self._full_bands = bands
+            del data
+        pos = np.searchsorted(self._full_bands, idx)
+        return self._full[:, :, pos]
 
     def band_slice(self, wavelength_range: Tuple[float, float] = DEFAULT_WAVELENGTH_RANGE):
         sel = (self.wavelengths >= wavelength_range[0]) & (self.wavelengths <= wavelength_range[1])
@@ -98,17 +126,19 @@ class EMITRawScene:
         return sel
 
     def read_bands(self, selection: np.ndarray) -> np.ndarray:
-        full = self._cube()
-        if full is not None:
-            return np.ascontiguousarray(full[:, :, selection])
+        selection = np.asarray(selection)
+        idx = np.where(selection)[0] if selection.dtype == bool else selection
+        cached = self._cube_bands(idx)
+        if cached is not None:
+            return np.ascontiguousarray(cached)
         return np.asarray(self.radiance[:, :, selection], np.float32)
 
     def read_rgb(self) -> np.ndarray:
         """(rows, cols, 3) at the nearest bands to 640/550/460 nm."""
-        idx = [int(np.argmin(np.abs(self.wavelengths - w))) for w in EMIT_RGB_WAVELENGTHS]
-        full = self._cube()
-        if full is not None:
-            return np.ascontiguousarray(full[:, :, idx])
+        idx = self._rgb_band_indices()
+        cached = self._cube_bands(np.asarray(idx, np.int64))
+        if cached is not None:
+            return np.ascontiguousarray(cached)
         return np.stack([np.asarray(self.radiance[:, :, i], np.float32) for i in idx], axis=-1)
 
     def invalid_mask(self, data: np.ndarray) -> np.ndarray:
@@ -123,6 +153,7 @@ class EMITRawScene:
 
     def close(self):
         self._full = None
+        self._full_bands = None
         self._f.close()
 
 

@@ -230,6 +230,13 @@ def quantize_pack12(
     out_shape = (3,) + cube.shape[:-1] + (s // 2,)
     lo = np.ascontiguousarray(lo, np.float32)
     inv_scale = np.ascontiguousarray(1.0 / np.asarray(scale, np.float32))
+    # The native kernel indexes lo/scale per band with no bounds check; a
+    # wrong-length array would read out of bounds where the numpy fallback
+    # raises a broadcast error — fail loudly and identically on both paths.
+    if lo.shape != (s,) or inv_scale.shape != (s,):
+        raise ValueError(
+            f"lo/scale must have shape ({s},); got {lo.shape}/{inv_scale.shape}"
+        )
     lib = _load()
     if lib is not None and hasattr(lib, "starcop_quantize_pack12"):
         out = np.empty(out_shape, np.uint8)
@@ -292,6 +299,11 @@ def quantize_pack10(
     out_shape = (5, n_groups, s)
     lo = np.ascontiguousarray(lo, np.float32)
     inv_scale = np.ascontiguousarray(1.0 / np.asarray(scale, np.float32))
+    # See quantize_pack12: the native kernel has no bounds check on lo/scale.
+    if lo.shape != (s,) or inv_scale.shape != (s,):
+        raise ValueError(
+            f"lo/scale must have shape ({s},); got {lo.shape}/{inv_scale.shape}"
+        )
     lib = _load()
     if lib is not None and hasattr(lib, "starcop_quantize_pack10"):
         out = np.empty(out_shape, np.uint8)

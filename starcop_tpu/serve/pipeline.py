@@ -363,8 +363,19 @@ def emit_serving_pipeline(
             wl = payload["wavelengths"]
             # valid's (H, W) rides in the key: the u10 wire tensor flattens
             # pixels, so its shape alone no longer pins the scene geometry.
-            key = (payload["cube"].shape, payload["valid"].shape,
-                   round(float(wl[0]), 3), round(float(wl[-1]), 3))
+            # The FULL band grid (wavelengths + fwhm) rides in too — the
+            # packed wire shapes coarsen band-count information (u12 halves
+            # it, u10 flattens pixels entirely) and two granules with equal
+            # shapes but different interior band centers must not silently
+            # reuse each other's CH4 template. The u12 tail flag guards the
+            # jit arity (tail scenes take an extra operand).
+            key = (
+                payload["cube"].shape,
+                payload["valid"].shape,
+                "q_tail" in payload,
+                np.asarray(wl, np.float64).tobytes(),
+                np.asarray(payload["fwhm"], np.float64).tobytes(),
+            )
             if key not in fused_cache:
                 template = generate_template_from_bands(wl, payload["fwhm"])[:, 1]
                 tpl_dev = jnp.asarray(template, jnp.float32)

@@ -82,13 +82,17 @@ def test_raw_scene_reader(fake_granule):
 
 
 def test_raw_scene_reader_chunked_parity(fake_granule, tmp_path):
-    """Chunked (real-EMIT-layout) granules read the dataset ONCE.
+    """Chunked (real-EMIT-layout) granules read the dataset ONCE, and the
+    cache is BAND-CAPPED.
 
     Real EMIT L1B granules are chunked with every band in each chunk and
     zlib-compressed, so any band-subset read decompresses the whole file;
     the reader caches one full read there (measured ~4x fewer decompression
-    sweeps for the read_bands + read_rgb pattern). Outputs must be
-    bit-identical to the contiguous (uncached, partial-read) path."""
+    sweeps for the read_bands + read_rgb pattern) but retains only the bands
+    the pipeline consumes — requested + RGB picks + the default filter
+    window — so steady-state RSS is a fraction of the ~1.8 GB full f32 cube.
+    Outputs must be bit-identical to the contiguous (uncached, partial-read)
+    path."""
     path, _ = fake_granule
     with h5py.File(path, "r") as f:
         cube = np.asarray(f["radiance"][...], np.float32)
@@ -107,16 +111,31 @@ def test_raw_scene_reader_chunked_parity(fake_granule, tmp_path):
         g.create_dataset("fwhm", data=fwhm)
 
     ref, new = EMITRawScene(path), EMITRawScene(str(chunked))
-    assert ref.radiance.chunks is None and ref._cube() is None  # contiguous: no cache
+    # contiguous: no cache
+    assert ref.radiance.chunks is None
+    assert ref._cube_bands(np.asarray([0], np.int64)) is None
     assert new.radiance.chunks is not None
     sel = new.band_slice()
     np.testing.assert_array_equal(new.read_bands(sel), ref.read_bands(sel))
-    assert new._full is not None  # the one cached full read
+    assert new._full is not None  # the one cached (band-capped) read
+    n_bands = new.wavelengths.size
+    assert new._full.shape[-1] < n_bands  # capped, not the full cube
+    assert new._full.shape[-1] >= int(np.asarray(sel).sum())
+    cached_bands = new._full_bands.copy()
     np.testing.assert_array_equal(new.read_rgb(), ref.read_rgb())
+    # the serving pattern (filter window + RGB) is served by the ONE read
+    np.testing.assert_array_equal(new._full_bands, cached_bands)
+    # a read outside the cached set re-caps to the widened union
+    outside = np.asarray([0], np.int64)
+    assert not np.isin(outside, cached_bands).all()
+    np.testing.assert_array_equal(
+        new.read_bands(outside), ref.radiance[:, :, [0]].astype(np.float32)
+    )
+    assert 0 in new._full_bands and np.isin(cached_bands, new._full_bands).all()
     # C-contiguity is part of the contract (native codec + device_put fast paths)
     assert new.read_bands(sel).flags.c_contiguous and new.read_rgb().flags.c_contiguous
     new.close()
-    assert new._full is None  # close releases the (potentially ~GB) cache
+    assert new._full is None  # close releases the (potentially large) cache
     ref.close()
 
 
