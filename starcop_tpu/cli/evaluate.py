@@ -24,7 +24,16 @@ def main(argv=None):
     p.add_argument("--model-type", default="unet_semseg")
     p.add_argument("--pos-weight", type=float, default=1.0)
     p.add_argument("--output", required=True)
-    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="eval batch size; 32 is the measured production-best "
+                        "config (bench extra eval_tiles_per_sec_bf16w_b32 — "
+                        "the ragged final batch compiles one extra program)")
+    p.add_argument("--model-dtype", choices=("bf16", "f32"), default="bf16",
+                   help="bf16 = bf16-RESIDENT weights (variables cast once; "
+                        "+6%% eval throughput, detection equivalence pinned by "
+                        "tests/test_models.py::test_bf16_resident_weights_"
+                        "inference). Only unet_semseg plumbs a compute dtype; "
+                        "other model types run f32 either way")
     args = p.parse_args(argv)
 
     from starcop_tpu.utils import enable_persistent_compilation_cache
@@ -54,14 +63,24 @@ def main(argv=None):
         if not args.checkpoint:
             p.error("Provide --checkpoint or --baseline")
         import jax
+        import jax.numpy as jnp
 
-        from starcop_tpu.models import SegmentationModel
+        from starcop_tpu.models import SegmentationModel, cast_variables_for_inference
         from starcop_tpu.setup_shims import load_pretrained_variables
 
+        # bf16-resident weights are the default inference config: the
+        # variables pytree is cast ONCE (no per-layer f32->bf16 casts), the
+        # network computes in bf16, logits return f32. Measured +6% eval
+        # throughput; detection equivalence vs f32 is pinned in tests.
+        use_bf16 = args.model_dtype == "bf16" and args.model_type == "unet_semseg"
         model = SegmentationModel(
-            args.input_products, model_type=args.model_type, pos_weight=args.pos_weight
+            args.input_products, model_type=args.model_type,
+            pos_weight=args.pos_weight,
+            model_dtype=jnp.bfloat16 if use_bf16 else None,
         )
         variables = load_pretrained_variables(args.checkpoint)
+        if use_bf16:
+            variables = cast_variables_for_inference(variables)
         bwp = lambda b: model.batch_with_preds(variables, b)  # noqa: E731
 
     # Double-buffered host->device prefetch: the chip reads + transfer of the

