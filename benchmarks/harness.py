@@ -262,9 +262,9 @@ def collect(quick: bool = False, deadline_ts: float = None):
         return results
     import functools
 
-    mf_f32 = jax.jit(
-        functools.partial(mag1c_column_blocks, column_step=54, num_iter=30, alpha=1e-4)
-    )
+    # Direct call (no outer jit wrapper): shares mag1c_column_blocks' own
+    # jit cache with bench.py's headline and the synthetic_f1 probe below.
+    mf_f32 = functools.partial(mag1c_column_blocks, column_step=54, num_iter=30, alpha=1e-4)
 
     def run_mf():
         mf, _ = mf_f32(cube_d, tpl_d, None)
@@ -345,7 +345,63 @@ def collect(quick: bool = False, deadline_ts: float = None):
 
     t = _timed(run_scene_bf16)
     results.append({"metric": "unet_scene_forward_bf16w_ms", "value": round(t * 1e3, 1), "unit": "ms"})
+
+    # ---- synthetic detection quality (validation-harness F1) --------------
+    # A QUALITY metric alongside the agreement guard: the production filter
+    # computes the eval set's mag1c on-device, then the real validation
+    # harness sweeps mag1c-scaled thresholds — a kernel-numerics regression
+    # moves this driver-visible F1, not just a mask-agreement ratio.
+    # Deterministic eval set; expected range pinned by
+    # tests/test_data_train_eval.py::test_synthetic_detection_f1_pinned.
+    # Last section on purpose (never starves the throughput metrics above);
+    # its default geometry MATCHES the headline/roofline mag1c program, so
+    # the filter compile is a jit-cache hit — only the small validation
+    # programs compile fresh here.
+    _mark("synthetic_f1")
+    if past_deadline():
+        return results
+    try:
+        from starcop_tpu.eval.synthetic_eval import synthetic_detection_f1
+
+        sf1 = (synthetic_detection_f1(n_tiles=2, height=256, width=216)
+               if args.quick else synthetic_detection_f1())
+        results.append({"metric": "synthetic_f1", "value": sf1["synthetic_f1"],
+                        "unit": "best-F1 (mag1c baseline, fixed synthetic eval set)"})
+        results.append({"metric": "synthetic_f1_at_500", "value": sf1["synthetic_f1_at_500"],
+                        "unit": "F1 at the 500 ppm*m operating point"})
+    except Exception as e:  # noqa: BLE001 — quality probe must not break the bench
+        print(f"synthetic_f1 skipped: {e}", file=_sys.stderr)
     return results
+
+
+def _competing_python_procs():
+    """Count OTHER python processes on this host, and how many are runnable.
+
+    Shared-host contention pre-flight (CLAUDE.md gotcha: concurrent python
+    processes on the TPU tunnel serialize and inflate timings up to ~8x; the
+    round-4 driver record's 285 ms write stage vs 19 ms uncontended was this).
+    Reads /proc directly — no shelling out, no pattern-kill risk. Returns
+    (n_python_other, n_runnable_other).
+    """
+    me = _os.getpid()
+    n_py = n_run = 0
+    for pid in _os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                stat = fh.read()
+        except OSError:
+            continue
+        # comm rides in parens (may contain spaces); state follows it.
+        lparen, rparen = stat.find("("), stat.rfind(")")
+        comm = stat[lparen + 1 : rparen]
+        state = stat[rparen + 2 : rparen + 3]
+        if "python" in comm:
+            n_py += 1
+            if state == "R":
+                n_run += 1
+    return n_py, n_run
 
 
 def _serve_throughput(model, variables, quick: bool = False, upload: str = "u10"):
@@ -406,14 +462,20 @@ def _serve_throughput(model, variables, quick: bool = False, upload: str = "u10"
             num_iter=30,
             upload_dtype=upload,
         )
+        # Contention pre-flight (VERDICT r4 #2): the host stages share CPUs
+        # with whatever else runs on the build host, which measured up to
+        # ~2.6x run-to-run swing (and a 15x write-stage inflation in the r4
+        # driver record). Record the competing-process count so the official
+        # BENCH line carries the contention context for its own numbers.
+        n_py, n_run = _competing_python_procs()
+        print(f"[serve] pre-flight: {n_py} other python procs "
+              f"({n_run} runnable) on this host", file=_sys.stderr)
+
         pipeline.run(paths[:1])  # warm the fused program (compile outside timing)
-        # Best + median of 3 timed passes: the pipeline's host stages (h5
-        # read, quantize, tif write) share CPUs with whatever else the build
-        # host runs, which measured up to ~2.6x run-to-run swing;
-        # steady-state throughput is the uncontended pass, the median rides
-        # along as the spread record.
+        # Best + median of 5 timed passes: steady-state throughput is the
+        # uncontended pass, the median rides along as the spread record.
         walls, stage_meds = [], []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             results = pipeline.run(paths)
             walls.append(time.time() - t0)
@@ -427,6 +489,9 @@ def _serve_throughput(model, variables, quick: bool = False, upload: str = "u10"
         wall = min(walls)
         stages = stage_meds[int(np.argmin(walls))]
         return [
+            {"metric": "serve_competing_python_procs", "value": n_py,
+             "unit": f"other python procs at pre-flight ({n_run} runnable); "
+                     "contention inflates host stages up to ~2.6x"},
             {"metric": "serve_scenes_per_sec", "value": round(n_scenes / wall, 2),
              "unit": f"scenes/s ({h_s}x{w_s}, {upload} upload, incl. h5 read + tif write)"},
             {"metric": "serve_scenes_per_sec_median", "value": round(n_scenes / float(np.median(walls)), 2),

@@ -445,3 +445,22 @@ def test_run_validation_batched_stats_match_numpy_oracle():
     assert [e["confusion_matrix"] for e in metrics_thr["thresholded"]] == [
         e["confusion_matrix"] for e in metrics["thresholded"]
     ]
+
+
+def test_synthetic_detection_f1_pinned():
+    """The bench's detection-quality probe (`synthetic_f1` extra) is pinned:
+    on the fixed seeded eval set the production matched filter + Mag1cBaseline
+    must score in a narrow known-good band. A kernel-numerics regression
+    (e.g. the round-4 uncentered-covariance class, which flipped ~5% of
+    detections) moves this number out of band where the mask-agreement
+    guard alone might stay quiet. CPU values (f64-capable) and TPU values
+    agree to ~1e-3 per the f32 kernel's pinned oracles."""
+    from starcop_tpu.eval.synthetic_eval import synthetic_detection_f1
+
+    out = synthetic_detection_f1(n_tiles=2, height=256, width=216)
+    # Measured 0.9718 / 0.9562 on the fixed (seed 42, 2 x 256x216) set; band
+    # allows f32-vs-f64 and cross-platform summation-order jitter, nothing
+    # more.
+    assert 0.955 <= out["synthetic_f1"] <= 0.985, out
+    assert 0.94 <= out["synthetic_f1_at_500"] <= 0.975, out
+    assert out["synthetic_f1"] >= out["synthetic_f1_at_500"] - 1e-9
