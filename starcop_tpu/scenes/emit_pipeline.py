@@ -139,6 +139,80 @@ def emit_granule_to_mask(
     return pred, mf
 
 
+def emit_granule_to_mask_batched(
+    cubes: jax.Array,
+    rgbs_chw: jax.Array,
+    template: jax.Array,
+    model_apply: Callable[[jax.Array], jax.Array],
+    *,
+    column_step: int = 54,
+    num_iter: int = 30,
+    alpha: float = 1e-4,
+    stream_dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched raw-granule -> plume-mask path: B same-shaped scenes, ONE program.
+
+    Rationale: serving on a bandwidth-limited link is upload-bound, but on
+    locally-attached chips the ~23 ms fused compute becomes the wall;
+    batching B scenes amortizes the U-Net forward's fixed costs and doubles
+    the matched filter's block batch. MEASURED RESULT at full EMIT-granule
+    size (1280 x 1242 x 50, v5e): 25.0 ms/scene batched vs 24.2 ms single —
+    0.97x, i.e. NO win: at 23 column blocks and a 1280x1242 U-Net input the
+    per-program fixed costs are already fully amortized, so B=2 only adds
+    the concat/reshape shuffle (docs/PROFILE.md "B=2 batching"). The API
+    stays for small-scene workloads (chips/quicklooks), where fixed costs
+    do dominate.
+
+    Layout: the scenes concatenate along the WIDTH axis before the column-
+    blocked filter — column blocks are the statistic unit, so as long as
+    each scene's width is a multiple of ``column_step`` no block straddles
+    two scenes and the per-scene results are bit-comparable to B separate
+    calls (pinned by tests/test_emit_pipeline.py::
+    test_granule_to_mask_batched_matches_single). Widths that do not divide
+    evenly would merge one scene's ragged tail block with the next scene's
+    first columns (wrong statistics), so that case raises.
+
+    Args:
+        cubes: (B, H, W, S) radiance, band-selected to the filter window.
+        rgbs_chw: (B, 3, H, W) radiance at the RGB picks.
+        template: (S,) target spectrum.
+        model_apply: (B, 4, H', W') normalized input -> (B, 1, H', W') logits.
+
+    Returns:
+        (prediction sigmoid (B, H, W), mf (B, H, W)) as device arrays.
+    """
+    from starcop_tpu.data.emit import MAGIC_DIV_BY, MAGIC_MULT_BY, RGB_DIV_BY, RGB_MULT_BY
+    from starcop_tpu.ops.padding import find_padding
+
+    b, h, w, s = cubes.shape
+    if w % column_step:
+        raise ValueError(
+            f"batched granule->mask requires width ({w}) to be a multiple of "
+            f"column_step ({column_step}): a ragged tail block would merge "
+            "statistics across scenes"
+        )
+    wide = jnp.moveaxis(cubes, 0, 1).reshape(h, b * w, s)  # (H, B*W, S)
+    mf_wide, _ = mag1c_column_blocks(
+        wide, template, None, column_step=column_step, num_iter=num_iter,
+        alpha=alpha, stream_dtype=stream_dtype,
+    )
+    mf = jnp.moveaxis(mf_wide.reshape(h, b, w), 1, 0)  # (B, H, W)
+
+    mf_clean = jnp.where(mf == NODATA, 0.0, mf)
+    m_n = jnp.clip(mf_clean / MAGIC_DIV_BY, 0, 2) * MAGIC_MULT_BY
+    rgb_n = jnp.clip(jnp.asarray(rgbs_chw) / RGB_DIV_BY, 0, 2) * RGB_MULT_BY
+    model_input = jnp.concatenate([m_n[:, None], rgb_n], axis=1)  # (B, 4, H, W)
+
+    pad_r = find_padding(h, 32)
+    pad_c = find_padding(w, 32)
+    padded = jnp.pad(model_input, ((0, 0), (0, 0), pad_r, pad_c), mode="reflect")
+    out = jax.nn.sigmoid(model_apply(padded))  # (B, 1, H', W')
+    rows = slice(pad_r[0], None if pad_r[1] <= 0 else -pad_r[1])
+    cols = slice(pad_c[0], None if pad_c[1] <= 0 else -pad_c[1])
+    pred = out[:, 0, rows, cols]
+    return pred, mf
+
+
 def emit_inference(
     scene: EMITRawScene,
     model_apply: Callable[[jax.Array], jax.Array],

@@ -305,3 +305,71 @@ def test_emit_datamodule(tmp_path):
     b = batches[0]
     assert b["input"].shape == (1, 4, 64, 32)
     assert b["id"] == ["plume_events/sceneA"]
+
+
+def test_granule_to_mask_batched_matches_single():
+    """The B-scene batched granule->mask program (scenes concatenated along
+    the width axis before the column-blocked filter) reproduces B separate
+    single-scene programs: no block straddles two scenes when each width is
+    a multiple of column_step, so per-block statistics are identical.
+    Tolerance mirrors the fusion-robustness contract of
+    tests/test_mag1c.py::test_pallas_num_iter_zero_contract (XLA fuses the
+    two program shapes differently; the pre-centered stats keep the residual
+    at f32-associativity scale), plus exact detection-mask agreement."""
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.scenes.emit_pipeline import (
+        emit_granule_to_mask,
+        emit_granule_to_mask_batched,
+    )
+
+    h, w, bands, step = 64, 32, 16, 16
+    template = -np.abs(np.sin(np.linspace(0.3, 3 * np.pi, bands)))
+    scenes = [
+        synthetic_scene(np.random.default_rng(7 + i), h, w, n_plumes=1,
+                        template=template)
+        for i in range(2)
+    ]
+    cubes = jnp.asarray(np.stack([s["radiance"] for s in scenes]))
+    rgbs = jnp.asarray(np.stack([
+        np.moveaxis(s["rgb"], -1, 0).astype(np.float32) for s in scenes
+    ]))
+    tpl = jnp.asarray(template, jnp.float32)
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    fused_b = jax.jit(
+        lambda c, r: emit_granule_to_mask_batched(
+            c, r, tpl, apply_fn, column_step=step, num_iter=3
+        )
+    )
+    pred_b, mf_b = fused_b(cubes, rgbs)
+    assert pred_b.shape == (2, h, w) and mf_b.shape == (2, h, w)
+
+    fused_1 = jax.jit(
+        lambda c, r: emit_granule_to_mask(
+            c, r, tpl, apply_fn, column_step=step, num_iter=3
+        )
+    )
+    for i in range(2):
+        pred_1, mf_1 = fused_1(cubes[i], rgbs[i])
+        np.testing.assert_allclose(
+            np.asarray(mf_b[i]), np.asarray(mf_1), rtol=1e-4, atol=2.0
+        )
+        assert (
+            (np.asarray(mf_b[i]) > 500) == (np.asarray(mf_1) > 500)
+        ).mean() >= 0.999
+        np.testing.assert_allclose(
+            np.asarray(pred_b[i]), np.asarray(pred_1), rtol=1e-4, atol=1e-4
+        )
+
+    # Non-divisible widths would merge statistics across scenes: loud error.
+    with pytest.raises(ValueError, match="multiple of"):
+        emit_granule_to_mask_batched(
+            cubes[:, :, : w - 1], rgbs[:, :, :, : w - 1], tpl, apply_fn,
+            column_step=step, num_iter=3,
+        )
