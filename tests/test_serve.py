@@ -428,3 +428,62 @@ def test_pipeline_u16_wire_nan_determinism(tmp_path):
             (res,) = pipeline.run([str(path)])
         assert res.error is None, (tag, res.error)
         assert np.isfinite(res.outputs["prediction"]).all(), tag
+
+
+def test_serve_cli_end_to_end(tmp_path, capsys):
+    """The serve CLI wires its flags (bf16-resident default model, upload
+    codec, compression, column step) into the pipeline and processes a
+    directory of granules in one pass — reference has no serving CLI; this
+    pins the framework's own production entry point."""
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.cli.serve import main as serve_main
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.train import create_train_state, save_checkpoint
+
+    rng = np.random.default_rng(0)
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    gran_dir = tmp_path / "granules"
+    gran_dir.mkdir()
+    for i in range(2):
+        scene = synthetic_scene(np.random.default_rng(i), 64, 48, n_plumes=1)
+        cube = rng.uniform(1, 8, size=(64, 48, len(wl))).astype(np.float32)
+        swir = (wl >= 2122) & (wl <= 2488)
+        idx = np.linspace(0, scene["radiance"].shape[-1] - 1, swir.sum()).astype(int)
+        cube[..., swir] = scene["radiance"][..., idx]
+        with h5py.File(gran_dir / f"EMIT_cli_{i}.nc", "w") as f:
+            d = f.create_dataset("radiance", data=cube)
+            d.attrs["_FillValue"] = [-9999.0]
+            g = f.create_group("sensor_band_parameters")
+            g.create_dataset("wavelengths", data=wl)
+            g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="unet_semseg",
+    )
+    state, _ = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32)
+    )
+    ckpt = save_checkpoint(str(tmp_path), state, name="best")
+
+    out = tmp_path / "out"
+    rc = serve_main([
+        "--granules-dir", str(gran_dir), "--checkpoint", ckpt,
+        "--output", str(out), "--column-step", "16", "--num-iter", "3",
+        "--upload", "u10",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert printed.count(": ok") == 2, printed
+
+    from starcop_tpu.data.geotiff import read_geotiff
+
+    for i in range(2):
+        base = out / f"EMIT_cli_{i}"
+        pred, _ = read_geotiff(str(base / "prediction.tif"))
+        assert pred.shape == (1, 64, 48)
+        assert np.all((pred >= 0) & (pred <= 1)) and np.isfinite(pred).all()
