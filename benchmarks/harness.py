@@ -37,7 +37,7 @@ import time
 import numpy as np
 
 
-def _timed_stats(fn, repeats=3, pipeline=32, warm=True):
+def _timed_stats(fn, repeats=5, pipeline=32, warm=True):
     """Per-run seconds, pipelined: enqueue ``pipeline`` dependent executions
     and force ONE host-visible scalar at the end.
 
@@ -52,8 +52,11 @@ def _timed_stats(fn, repeats=3, pipeline=32, warm=True):
     chain: the first chain after compile is reliably slow (buffer/donation
     setup), and the shared build host intermittently steals the dispatch
     thread — measured e.g. bf16 train repeats of [52, 108, 107, 109, 109]
-    steps/s, so median-of-3 was reporting host noise. The median rides along
-    in the reported extras so the record carries the observed spread.
+    steps/s, so a small-N median was reporting host noise. Five chains
+    (round 5; was 3) give the best chain a better shot at an uncontended
+    window — cross-run best-chain spread of the f32 train metric was
+    53-68 steps/s at 3 repeats. The median rides along in the reported
+    extras so the record carries the observed spread.
     """
     import jax.numpy as jnp
 
