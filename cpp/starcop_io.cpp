@@ -173,6 +173,66 @@ int starcop_band_minmax(const float* cube, const uint8_t* valid, int64_t n_px,
   return 0;
 }
 
+// Fused nodata-validity scan + per-band min/max in ONE threaded pass.
+// valid_out[p] = 1 iff NO band of pixel p equals the fill sentinel (the
+// sensor nodata contract of EMITRawScene.invalid_mask: any band at fill
+// invalidates the pixel; NaN never invalidates — NaN != fill — and never
+// contributes to the range, matching starcop_band_minmax). (lo, hi)
+// accumulate over the FIRST s_minmax bands of the pixels that end up valid
+// (0 <= s_minmax <= s; 0 = validity only, lo/hi untouched). Replaces the
+// serving read stage's full-cube numpy compare+any pass plus the separate
+// native minmax pass with one pass (each row stays hot in L1 for the
+// second mini-scan).
+int starcop_valid_band_minmax(const float* cube, float fill, int64_t n_px,
+                              int32_t s, int32_t s_minmax, uint8_t* valid_out,
+                              float* lo_out, float* hi_out, int32_t n_threads) {
+  if (n_px <= 0 || s <= 0 || s_minmax < 0 || s_minmax > s) return -EINVAL;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 4);
+  if (static_cast<int64_t>(nt) > n_px) nt = static_cast<int>(n_px);
+
+  std::vector<std::vector<float>> los(nt), his(nt);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  const int64_t stripe = (n_px + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      std::vector<float>& lo = los[t];
+      std::vector<float>& hi = his[t];
+      lo.assign(s_minmax > 0 ? s_minmax : 1, 3.4e38f);
+      hi.assign(s_minmax > 0 ? s_minmax : 1, -3.4e38f);
+      const int64_t p0 = t * stripe;
+      const int64_t p1 = std::min(n_px, p0 + stripe);
+      for (int64_t p = p0; p < p1; ++p) {
+        const float* row = cube + p * s;
+        bool ok = true;
+        for (int32_t b = 0; b < s; ++b) {
+          if (row[b] == fill) { ok = false; break; }
+        }
+        valid_out[p] = ok ? 1 : 0;
+        if (!ok) continue;
+        for (int32_t b = 0; b < s_minmax; ++b) {
+          const float v = row[b];
+          if (v < lo[b]) lo[b] = v;
+          if (v > hi[b]) hi[b] = v;
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int32_t b = 0; b < s_minmax; ++b) {
+    float lo = 3.4e38f, hi = -3.4e38f;
+    for (int t = 0; t < nt; ++t) {
+      if (los[t][b] < lo) lo = los[t][b];
+      if (his[t][b] > hi) hi = his[t][b];
+    }
+    // All-invalid band: pin a harmless (0, 1) range (mirrors band_minmax).
+    lo_out[b] = (lo <= hi) ? lo : 0.0f;
+    hi_out[b] = (lo <= hi) ? hi : 1.0f;
+  }
+  return 0;
+}
+
 // Quantize q = clamp(rint((x - lo) * inv_scale), 0, 4095) and pack band pairs
 // (2k, 2k+1) into 3 bytes, written as THREE planes of (n_px, S/2) u8 at
 // out / out+plane / out+2*plane:

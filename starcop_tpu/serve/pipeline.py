@@ -244,33 +244,38 @@ def emit_serving_pipeline(
     )
 
     def read_fn(path: str) -> Dict:
+        from starcop_tpu.data import native_io
+
         scene = EMITRawScene(path)
         sel = scene.band_slice()
-        cube = scene.read_bands(sel)
         # Validity must come from the ORIGINAL f32 values: narrowing rounds
         # the sensor fill value (bf16(-9999) = -9984) and quantization clips
         # it into range, so the sentinel comparison would silently miss.
-        valid = ~scene.invalid_mask(cube)
+        # valid_band_minmax fuses the sentinel scan with the quantizer's
+        # per-band range scan in ONE native threaded pass (the separate
+        # numpy compare+any pass was ~25 ms of the uncontended read stage).
+        cube = np.ascontiguousarray(scene.read_bands(sel), np.float32)
         raw = {}
         if packed12:
             # Per-band affine 12-bit grid over the VALID range, band pairs
             # packed 2 values / 3 bytes (fused threaded native pass; see
             # data/native_io.quantize_pack12). Odd band counts carry the
-            # last band unpaired as a separate f32 plane (cheap: one band).
-            from starcop_tpu.data import native_io
-
-            cube = np.ascontiguousarray(cube, np.float32)
+            # last band unpaired as a separate f32 plane (cheap: one band);
+            # validity still scans ALL bands, the affine grid covers only
+            # the even-band body.
             s_total = cube.shape[-1]
             s_even = s_total - (s_total % 2)
+            valid, lo, hi = native_io.valid_band_minmax(
+                cube, scene.fill_value, n_minmax_bands=s_even
+            )
             if s_total % 2:
                 raw["q_tail"] = np.ascontiguousarray(cube[..., s_even:])
                 # Materialize the even-band body ONCE: the sliced view is
-                # non-contiguous, and band_minmax + quantize_pack12 would each
-                # otherwise take their own full-cube contiguous copy.
+                # non-contiguous, and quantize_pack12 would otherwise take
+                # its own full-cube contiguous copy.
                 body = np.ascontiguousarray(cube[..., :s_even])
             else:
                 body = cube
-            lo, hi = native_io.band_minmax(body, valid)
             scale = np.maximum((hi - lo) / 4095.0, 1e-12).astype(np.float32)
             raw["q_lo"], raw["q_scale"] = lo, scale
             cube = native_io.quantize_pack12(body, lo, scale)
@@ -279,22 +284,15 @@ def emit_serving_pipeline(
             # 5 bytes (fused threaded native pass; see
             # data/native_io.quantize_pack10). No band pad/tail cases: the
             # quad grouping runs along pixels.
-            from starcop_tpu.data import native_io
-
-            cube = np.ascontiguousarray(cube, np.float32)
-            lo, hi = native_io.band_minmax(cube, valid)
+            valid, lo, hi = native_io.valid_band_minmax(cube, scene.fill_value)
             scale = np.maximum((hi - lo) / 1023.0, 1e-12).astype(np.float32)
             raw["q_lo"], raw["q_scale"] = lo, scale
             cube = native_io.quantize_pack10(cube, lo, scale)
         elif quantized:
             # Per-band affine quantization over the VALID range (fill
-            # sentinels would blow the step size ~1000x). The (lo, hi) scan is
-            # the fused threaded native pass (numpy fallback inside); the
-            # fused program dequantizes on device.
-            from starcop_tpu.data import native_io
-
-            cube = np.ascontiguousarray(cube, np.float32)
-            lo, hi = native_io.band_minmax(cube, valid)
+            # sentinels would blow the step size ~1000x); the fused program
+            # dequantizes on device.
+            valid, lo, hi = native_io.valid_band_minmax(cube, scene.fill_value)
             scale = np.maximum((hi - lo) / 65535.0, 1e-12).astype(np.float32)
             # nan_to_num BEFORE the uint cast: float->uint of NaN is
             # platform-undefined, and NaN survives clip/rint. Same
@@ -306,7 +304,14 @@ def emit_serving_pipeline(
             raw["q_lo"], raw["q_scale"] = lo, scale
         elif upload_dtype is not None:
             # Plain narrowing cast (one cheap host pass); device upcasts once.
+            valid, _, _ = native_io.valid_band_minmax(
+                cube, scene.fill_value, n_minmax_bands=0
+            )
             cube = np.asarray(cube).astype(upload_dtype)
+        else:
+            valid, _, _ = native_io.valid_band_minmax(
+                cube, scene.fill_value, n_minmax_bands=0
+            )
         payload = {
             "wavelengths": scene.wavelengths[sel],
             "fwhm": scene.fwhm[sel],
@@ -322,8 +327,6 @@ def emit_serving_pipeline(
             # f32 RGB was ~90-180 ms/scene of upload for 3 of 53 bands.
             # band_minmax carries the valid-masking / all-invalid-pin / NaN
             # semantics in ONE place (and the fused threaded native pass).
-            from starcop_tpu.data import native_io
-
             r_lo, r_hi = native_io.band_minmax(np.moveaxis(rgb, 0, -1), valid)
             r_scale = np.maximum((r_hi - r_lo) / 65535.0, 1e-12).astype(np.float32)
             # NaN -> 0 deterministically before the uint cast (see the u16

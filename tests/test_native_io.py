@@ -249,3 +249,74 @@ def test_band_minmax_nan_semantics_match_native(monkeypatch):
     q1 = (packed_f[1].astype(np.uint16) >> 4) | (packed_f[2].astype(np.uint16) << 4)
     q = np.stack([q0, q1], axis=-1).reshape(20, 15, 4)
     assert q[3, 3, 1] == 0
+
+def test_valid_band_minmax_fuses_sentinel_scan_and_range():
+    """The fused pass must equal the composition it replaces in the serving
+    read stage: valid = ~any(cube == fill, axis=-1) (emit.invalid_mask
+    semantics) and band_minmax(cube, valid)."""
+    rng = np.random.default_rng(11)
+    fill = -9999.0
+    cube = rng.uniform(1, 8, size=(24, 18, 7)).astype(np.float32)
+    # pixels where a SINGLE band carries the sentinel are invalid too
+    cube[2, 3, 0] = fill
+    cube[5, 5, :] = fill
+    cube[7, 1, 6] = fill  # sentinel only in the tail band
+    cube[9, 9, 2] = np.nan  # NaN neither invalidates nor enters the range
+
+    expected_valid = ~np.any(cube == np.float32(fill), axis=-1)
+    expected_lo, expected_hi = nio.band_minmax(cube, expected_valid)
+
+    valid, lo, hi = nio.valid_band_minmax(cube, fill)
+    assert valid.dtype == bool and valid.shape == (24, 18)
+    np.testing.assert_array_equal(valid, expected_valid)
+    np.testing.assert_allclose(lo, expected_lo)
+    np.testing.assert_allclose(hi, expected_hi)
+
+
+def test_valid_band_minmax_prefix_bands_and_skip():
+    """n_minmax_bands covers the u12 body while validity scans the odd tail;
+    0 skips the range scan entirely (the f32/bf16 serving paths)."""
+    rng = np.random.default_rng(12)
+    fill = -9999.0
+    cube = rng.uniform(1, 8, size=(10, 9, 5)).astype(np.float32)
+    cube[4, 4, 4] = fill  # invalid via the tail band ONLY
+
+    valid, lo, hi = nio.valid_band_minmax(cube, fill, n_minmax_bands=4)
+    assert not valid[4, 4]  # the tail band still invalidates
+    assert lo.shape == (4,) and hi.shape == (4,)
+    exp_lo, exp_hi = nio.band_minmax(cube[..., :4], valid)
+    np.testing.assert_allclose(lo, exp_lo)
+    np.testing.assert_allclose(hi, exp_hi)
+
+    valid_only, lo_none, hi_none = nio.valid_band_minmax(cube, fill, n_minmax_bands=0)
+    np.testing.assert_array_equal(valid_only, valid)
+    assert lo_none is None and hi_none is None
+
+    with pytest.raises(ValueError):
+        nio.valid_band_minmax(cube, fill, n_minmax_bands=6)
+
+
+def test_valid_band_minmax_numpy_fallback_matches(monkeypatch):
+    rng = np.random.default_rng(13)
+    fill = 0.25  # not exactly representable games: compare in f32 on BOTH paths
+    cube = rng.uniform(0.3, 4, size=(12, 8, 6)).astype(np.float32)
+    cube[1, 1, 3] = np.float32(fill)
+    cube[6, 0, :] = np.float32(fill)
+    cube[3, 7, 5] = np.nan
+
+    # all pixels invalid: ranges pin (0, 1) on both paths
+    allfill = np.full((4, 3, 2), np.float32(fill), np.float32)
+
+    valid_n, lo_n, hi_n = nio.valid_band_minmax(cube, fill)
+    v_n, alo_n, ahi_n = nio.valid_band_minmax(allfill, fill)
+    monkeypatch.setattr(nio, "_lib", None)
+    monkeypatch.setattr(nio, "_tried", True)
+    valid_f, lo_f, hi_f = nio.valid_band_minmax(cube, fill)
+    v_f, alo_f, ahi_f = nio.valid_band_minmax(allfill, fill)
+
+    np.testing.assert_array_equal(valid_n, valid_f)
+    np.testing.assert_allclose(lo_n, lo_f)
+    np.testing.assert_allclose(hi_n, hi_f)
+    assert not valid_n[1, 1] and not valid_n[6, 0] and valid_n[3, 7]
+    for v, alo, ahi in ((v_n, alo_n, ahi_n), (v_f, alo_f, ahi_f)):
+        assert not v.any() and np.all(alo == 0.0) and np.all(ahi == 1.0)
