@@ -43,6 +43,12 @@ def main(argv=None):
                         "per-scene host->device bytes. bf16 trades ~1%% "
                         "borderline-pixel flips for zero host-side "
                         "quantization work")
+    p.add_argument("--download", choices=("f16", "f32"), default="f16",
+                   help="result download wire format: f16 (default) ships "
+                        "(prediction, mag1c) as ONE stacked half-precision "
+                        "transfer (<= 2^-11 relative error, NODATA restored "
+                        "exactly; pinned by tests/test_serve.py), f32 = "
+                        "bit-exact results, double the download bytes")
     p.add_argument("--model-dtype", choices=("bf16", "f32"), default="bf16",
                    help="bf16 = bf16-RESIDENT U-Net weights (variables cast "
                         "once at load; whole-scene forward 15.7 -> 14.5 ms, "
@@ -91,6 +97,7 @@ def main(argv=None):
         devices=jax.devices()[: args.devices] if args.devices > 1 else None,
         upload_dtype={"f32": None, "u12": "u12", "u10": "u10",
                       "u16": jnp.uint16, "bf16": jnp.bfloat16}[args.upload],
+        download_dtype={"f16": "f16", "f32": None}[args.download],
         compress_outputs=args.compress_outputs,
     )
 

@@ -156,6 +156,7 @@ def emit_serving_pipeline(
     stream_dtype=None,
     devices: Optional[List] = None,
     upload_dtype=None,
+    download_dtype="f16",
     compress_outputs=False,
 ) -> ScenePipeline:
     """Ready-made pipeline: raw EMIT granule paths -> mag1c + plume masks.
@@ -222,12 +223,27 @@ def emit_serving_pipeline(
     tests/test_serve.py::test_pipeline_narrow_upload_detection. Radiometric
     products (mf magnitudes, albedo) keep f32 compute either way; only the
     input rounding differs from the f32 default.
+
+    ``download_dtype``: wire format of the (prediction, mag1c) results over
+    the device->host link. The two outputs always ride ONE stacked transfer
+    (two separate syncs each paid wire + ~33 ms tunnel RTT — ~390 ms/scene
+    of the measured compute stage was the downloads). Default ``"f16"``
+    additionally halves the download bytes: prediction error <= 2^-11
+    (~4.9e-4 absolute on a sigmoid in [0, 1]); mag1c rides scaled by 1/16
+    (exact power of 2, undone on host) so values to ~1.05e6 ppm*m fit f16
+    range at <= 2^-11 relative error — inside every narrow-upload codec's
+    own error budget; compute stays f32 throughout. NODATA sentinels at
+    invalid pixels are restored exactly from the reader's host-side valid
+    mask. Pass ``None``/``"f32"`` for bit-exact f32 results (still one
+    stacked transfer). Pinned by
+    tests/test_serve.py::test_pipeline_f16_download_contract.
     """
     import jax
     import jax.numpy as jnp
 
     from starcop_tpu.data.emit import EMITRawScene
     from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.ops.mag1c import NODATA
     from starcop_tpu.scenes.emit_pipeline import emit_granule_to_mask
 
     # Any explicit devices list (even length 1) pins compute to those chips;
@@ -242,6 +258,10 @@ def emit_serving_pipeline(
         and upload_dtype is not None
         and np.dtype(upload_dtype) == np.uint16
     )
+    down_f16 = isinstance(download_dtype, str) and download_dtype.lower() == "f16"
+    # mag1c rides the f16 wire scaled by 1/16 (exact power of 2): keeps
+    # values to ~16 * 65504 ppm*m in f16 range at unchanged mantissa error.
+    MF_F16_SCALE = 16.0
 
     def read_fn(path: str) -> Dict:
         from starcop_tpu.data import native_io
@@ -344,6 +364,10 @@ def emit_serving_pipeline(
             "valid": valid,
             "rgb": rgb,
         })
+        # Host-side copy of the valid mask (a reference, not a copy): the
+        # f16 download path restores exact NODATA sentinels from it after
+        # the narrow cast rounds them (compute_fn), at zero wire cost.
+        payload["valid_host"] = valid
         if multi:
             # Device unknown until a worker claims the scene: hand over host
             # arrays (uploads to different chips then proceed in parallel).
@@ -384,11 +408,19 @@ def emit_serving_pipeline(
                 tpl_dev = jnp.asarray(template, jnp.float32)
 
                 def granule(c, r, v):
-                    return emit_granule_to_mask(
+                    pred, mf = emit_granule_to_mask(
                         c, r, tpl_dev, model_apply,
                         column_step=column_step, num_iter=num_iter, valid_mask=v,
                         stream_dtype=stream_dtype,
                     )
+                    # ONE stacked device->host transfer instead of two
+                    # synced downloads (each paid wire + ~33 ms tunnel RTT);
+                    # f16 halves the bytes (docstring: download_dtype).
+                    if down_f16:
+                        return jnp.stack(
+                            [pred, mf * (1.0 / MF_F16_SCALE)]
+                        ).astype(jnp.float16)
+                    return jnp.stack([pred, mf])
 
                 # RGB planes arrive u16 under the narrow codecs; dequantize
                 # inside the fused program (one multiply-add on 3 planes).
@@ -471,10 +503,18 @@ def emit_serving_pipeline(
                 if device is not None:
                     extra = [jax.device_put(a, device) for a in extra]
                     rgb_extra = [jax.device_put(a, device) for a in rgb_extra]
-                pred_d, mf_d = fused_cache[key](cube, *extra, rgb, *rgb_extra, valid)
+                out_d = fused_cache[key](cube, *extra, rgb, *rgb_extra, valid)
             else:
-                pred_d, mf_d = fused_cache[key](cube, rgb, valid)
-            pred, mf = np.asarray(pred_d), np.asarray(mf_d)
+                out_d = fused_cache[key](cube, rgb, valid)
+            both = np.asarray(out_d)  # the single stacked download
+            if down_f16:
+                both = both.astype(np.float32)
+                pred, mf = both[0], both[1] * MF_F16_SCALE
+                # Restore exact NODATA sentinels the narrow cast rounded
+                # (invalid pixels are exactly the reader's ~valid set).
+                mf = np.where(payload["valid_host"], mf, np.float32(NODATA))
+            else:
+                pred, mf = both[0], both[1]
             return _finalize_outputs(payload, pred, mf)
 
         return compute_fn

@@ -244,8 +244,12 @@ def test_pipeline_narrow_upload_detection(tmp_path):
         ("bf16", jnp.bfloat16),
     ):
         out_dir = tmp_path / tag
+        # download_dtype=None: isolate the UPLOAD codecs' error (the f16
+        # download default has its own pinned contract in
+        # test_pipeline_f16_download_contract).
         pipeline = emit_serving_pipeline(
-            apply_fn, str(out_dir), column_step=16, num_iter=5, upload_dtype=up
+            apply_fn, str(out_dir), column_step=16, num_iter=5, upload_dtype=up,
+            download_dtype=None,
         )
         (res,) = pipeline.run([str(path)])
         assert res.error is None
@@ -306,6 +310,79 @@ def test_pipeline_narrow_upload_detection(tmp_path):
     # comment above).
     assert np.abs(preds["u10"] - pf).mean() < 2e-3
     assert ((preds["u10"] > 0.5) == (pf > 0.5)).mean() >= 0.995
+
+
+def test_pipeline_f16_download_contract(tmp_path):
+    """The default f16 result download vs bit-exact f32 download:
+
+    * ONE stacked transfer either way (the two separate syncs each paid
+      wire + RTT on the tunnel);
+    * prediction error <= 2^-11 + identical 0.5-threshold masks away from
+      the knife edge;
+    * mag1c <= 2^-11 relative error (rides the wire scaled by 1/16, an
+      exact power of 2, undone on host);
+    * NODATA sentinels at invalid pixels restored EXACTLY from the
+      reader's host-side valid mask.
+    """
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    swir = (wl >= 2122) & (wl <= 2488)
+    template = generate_template_from_bands(wl[swir], np.full_like(wl[swir], 8.5))[:, 1]
+    scene = synthetic_scene(np.random.default_rng(21), 96, 64, n_plumes=2,
+                            template=template)
+    cube = np.random.default_rng(22).uniform(
+        1, 8, size=(96, 64, len(wl))
+    ).astype(np.float32)
+    cube[..., swir] = scene["radiance"]
+    cube[:3, :5, :] = -9999.0  # fill corner: sentinel must survive f16 exactly
+    path = tmp_path / "EMIT_dl_0.nc"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    res = {}
+    for tag, down in (("f32", None), ("f16", "f16")):
+        pipeline = emit_serving_pipeline(
+            apply_fn, str(tmp_path / tag), column_step=16, num_iter=5,
+            upload_dtype="u10", download_dtype=down,
+        )
+        (r,) = pipeline.run([str(path)])
+        assert r.error is None
+        res[tag] = r.outputs
+
+    mf32, mf16 = res["f32"]["mag1c"], res["f16"]["mag1c"]
+    p32, p16 = res["f32"]["prediction"], res["f16"]["prediction"]
+
+    # exact sentinels at the fill corner; everywhere else within f16 mantissa
+    assert np.all(mf16[:3, :5] == -9999.0)
+    valid = mf32 != -9999.0
+    assert np.array_equal(valid, mf16 != -9999.0)
+    denom = np.maximum(np.abs(mf32[valid]), 1.0)
+    assert np.max(np.abs(mf16[valid] - mf32[valid]) / denom) <= 2 ** -11 + 1e-7
+
+    assert np.max(np.abs(p16 - p32)) <= 2 ** -11 + 1e-7
+    away = np.abs(p32 - 0.5) > 2e-3  # away from the knife edge
+    assert np.array_equal((p16 > 0.5)[away], (p32 > 0.5)[away])
+    # f16 stays a valid probability map
+    assert np.all((p16 >= 0) & (p16 <= 1))
 
 
 def test_pipeline_u12_odd_band_tail(tmp_path):
