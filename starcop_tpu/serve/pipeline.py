@@ -217,7 +217,10 @@ def emit_serving_pipeline(
 
     Under u12/u16 the three RGB display planes also ride the wire as
     per-band affine u16 (~1e-4 relative error into the model's TOA
-    channels) and are dequantized inside the fused program.
+    channels); under u10 they ride the same u10 pixel-quad pack as the cube
+    (~1e-3, in-family with the bf16 model compute they feed). Both are
+    dequantized inside the fused program. The valid mask ships bit-packed
+    (1/8 of the bool bytes) on every path.
 
     Fidelity of all three is pinned by
     tests/test_serve.py::test_pipeline_narrow_upload_detection. Radiometric
@@ -339,15 +342,26 @@ def emit_serving_pipeline(
             "transform": scene.transform,
             "crs_epsg": scene.crs_epsg,
         }
-        rgb = np.moveaxis(scene.read_rgb(), -1, 0).astype(np.float32)
-        if packed or quantized:
-            # The RGB display planes ride the same narrow wire: per-band
+        rgb_hwc = scene.read_rgb().astype(np.float32)  # (H, W, 3)
+        if packed10:
+            # Under the maximum-compression codec the RGB planes ride the
+            # same u10 pixel-quad pack as the cube (31.25% of f32 bytes;
+            # the 10-bit grid's ~1e-3 relative error is in-family with the
+            # bf16 model compute these TOA channels feed). u12/u16 keep
+            # their stricter per-band affine u16 RGB below.
+            r_lo, r_hi = native_io.band_minmax(rgb_hwc, valid)
+            r_scale = np.maximum((r_hi - r_lo) / 1023.0, 1e-12).astype(np.float32)
+            raw["rgb_lo"], raw["rgb_scale"] = r_lo, r_scale
+            rgb = native_io.quantize_pack10(rgb_hwc, r_lo, r_scale)
+        elif packed12 or quantized:
+            # The RGB display planes ride the narrow wire as per-band
             # affine u16 (50% of the f32 bytes; ~1e-4 relative error, far
             # inside the model's bf16-compute tolerance). On this link the
             # f32 RGB was ~90-180 ms/scene of upload for 3 of 53 bands.
             # band_minmax carries the valid-masking / all-invalid-pin / NaN
             # semantics in ONE place (and the fused threaded native pass).
-            r_lo, r_hi = native_io.band_minmax(np.moveaxis(rgb, 0, -1), valid)
+            rgb = np.moveaxis(rgb_hwc, -1, 0)
+            r_lo, r_hi = native_io.band_minmax(rgb_hwc, valid)
             r_scale = np.maximum((r_hi - r_lo) / 65535.0, 1e-12).astype(np.float32)
             # NaN -> 0 deterministically before the uint cast (see the u16
             # cube branch above).
@@ -359,9 +373,14 @@ def emit_serving_pipeline(
                 nan=0.0,
             ).astype(np.uint16)
             raw["rgb_lo"], raw["rgb_scale"] = r_lo, r_scale
+        else:
+            rgb = np.moveaxis(rgb_hwc, -1, 0)
         raw.update({
             "cube": cube,
-            "valid": valid,
+            # The valid mask ships bit-packed (1/8 of the bool bytes; the
+            # fused program unpacks with one mask-and-compare). Geometry
+            # travels via valid_host (the jit cache key below).
+            "valid": np.packbits(valid.ravel()),
             "rgb": rgb,
         })
         # Host-side copy of the valid mask (a reference, not a copy): the
@@ -388,8 +407,9 @@ def emit_serving_pipeline(
 
         def compute_fn(payload: Dict) -> Dict:
             wl = payload["wavelengths"]
-            # valid's (H, W) rides in the key: the u10 wire tensor flattens
-            # pixels, so its shape alone no longer pins the scene geometry.
+            # valid_host's (H, W) rides in the key: the u10 wire tensor and
+            # the bit-packed valid mask both flatten pixels, so wire shapes
+            # alone no longer pin the scene geometry.
             # The FULL band grid (wavelengths + fwhm) rides in too — the
             # packed wire shapes coarsen band-count information (u12 halves
             # it, u10 flattens pixels entirely) and two granules with equal
@@ -398,7 +418,7 @@ def emit_serving_pipeline(
             # jit arity (tail scenes take an extra operand).
             key = (
                 payload["cube"].shape,
-                payload["valid"].shape,
+                payload["valid_host"].shape,
                 "q_tail" in payload,
                 np.asarray(wl, np.float64).tobytes(),
                 np.asarray(payload["fwhm"], np.float64).tobytes(),
@@ -406,8 +426,15 @@ def emit_serving_pipeline(
             if key not in fused_cache:
                 template = generate_template_from_bands(wl, payload["fwhm"])[:, 1]
                 tpl_dev = jnp.asarray(template, jnp.float32)
+                h_s, w_s = payload["valid_host"].shape
 
-                def granule(c, r, v):
+                # The valid mask arrives bit-packed (big bitorder, see
+                # np.packbits in read_fn): one mask-and-compare unpacks it.
+                bit_masks = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+                def granule(c, r, vb):
+                    v = ((vb[:, None] & bit_masks) != 0).reshape(-1)
+                    v = v[: h_s * w_s].reshape(h_s, w_s)
                     pred, mf = emit_granule_to_mask(
                         c, r, tpl_dev, model_apply,
                         column_step=column_step, num_iter=num_iter, valid_mask=v,
@@ -422,10 +449,24 @@ def emit_serving_pipeline(
                         ).astype(jnp.float16)
                     return jnp.stack([pred, mf])
 
-                # RGB planes arrive u16 under the narrow codecs; dequantize
+                # RGB planes arrive u16 under u12/u16 codecs; dequantize
                 # inside the fused program (one multiply-add on 3 planes).
                 def dequant_rgb(r, rlo, rsc):
                     return r.astype(jnp.float32) * rsc[:, None, None] + rlo[:, None, None]
+
+                def dequant10(p, lo, sc):
+                    # Unpack pixel-quad byte planes: shifts/masks per plane,
+                    # one interleave, one multiply-add (shared by the u10
+                    # cube and the u10 RGB wire).
+                    b = p.astype(jnp.uint16)  # (5, G, S)
+                    q0 = b[0] | ((b[1] & 0x3) << 8)
+                    q1 = (b[1] >> 2) | ((b[2] & 0xF) << 6)
+                    q2 = (b[2] >> 4) | ((b[3] & 0x3F) << 4)
+                    q3 = (b[3] >> 6) | (b[4] << 2)
+                    g, s_n = q0.shape
+                    q = jnp.stack([q0, q1, q2, q3], axis=1).reshape(4 * g, s_n)
+                    x = q[: h_s * w_s].astype(jnp.float32) * sc + lo
+                    return x.reshape(h_s, w_s, s_n)
 
                 if packed12:
                     # Unpack the byte planes inside the fused program: two
@@ -459,25 +500,14 @@ def emit_serving_pipeline(
                             )
                         )
                 elif packed10:
-                    # Unpack pixel-quad byte planes inside the fused
-                    # program: shifts/masks per plane, one interleave, one
-                    # multiply-add — the win is 68.75% fewer wire bytes.
-                    h_s, w_s = payload["valid"].shape
-
-                    def dequant10(p, lo, sc):
-                        b = p.astype(jnp.uint16)  # (5, G, S)
-                        q0 = b[0] | ((b[1] & 0x3) << 8)
-                        q1 = (b[1] >> 2) | ((b[2] & 0xF) << 6)
-                        q2 = (b[2] >> 4) | ((b[3] & 0x3F) << 4)
-                        q3 = (b[3] >> 6) | (b[4] << 2)
-                        g, s_n = q0.shape
-                        q = jnp.stack([q0, q1, q2, q3], axis=1).reshape(4 * g, s_n)
-                        x = q[: h_s * w_s].astype(jnp.float32) * sc + lo
-                        return x.reshape(h_s, w_s, s_n)
-
+                    # Cube AND RGB ride the u10 pixel-quad pack — 68.75%
+                    # fewer wire bytes; RGB dequantizes to (H, W, 3) and
+                    # transposes to the granule's CHW on device.
                     fused_cache[key] = jax.jit(
                         lambda c, lo, sc, r, rlo, rsc, v: granule(
-                            dequant10(c, lo, sc), dequant_rgb(r, rlo, rsc), v
+                            dequant10(c, lo, sc),
+                            jnp.moveaxis(dequant10(r, rlo, rsc), -1, 0),
+                            v,
                         )
                     )
                 elif quantized:
