@@ -185,7 +185,7 @@ def main():
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from benchmarks.harness import collect
 
-        budget_s = float(os.environ.get("STARCOP_BENCH_EXTRAS_BUDGET_S", "360"))
+        budget_s = float(os.environ.get("STARCOP_BENCH_EXTRAS_BUDGET_S", "420"))
         for r in collect(quick=False, deadline_ts=time.time() + budget_s):
             extras[r["metric"]] = r["value"]
             print(f"extra: {r['metric']} = {r['value']} {r.get('unit', '')}", file=sys.stderr)
