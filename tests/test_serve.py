@@ -385,6 +385,72 @@ def test_pipeline_f16_download_contract(tmp_path):
     assert np.all((p16 >= 0) & (p16 <= 1))
 
 
+def test_pipeline_u10_odd_geometry(tmp_path):
+    """u10 serving on a scene whose pixel count divides NEITHER the packer's
+    pixel quads (4) NOR the valid mask's bit packing (8): 37x29 = 1073 px
+    (1073 % 8 = 1, 1073 % 4 = 1). The device-side trims (q[: h*w], bit
+    unpack [: h*w]) and the host packers' padding must round-trip exactly —
+    compared against the f32-upload pipeline on the same granule."""
+    h5py = pytest.importorskip("h5py")
+    import jax
+    import jax.numpy as jnp
+
+    from starcop_tpu.data.synthetic import synthetic_scene
+    from starcop_tpu.models import SegmentationModel
+    from starcop_tpu.ops.ch4_template import generate_template_from_bands
+    from starcop_tpu.serve.pipeline import emit_serving_pipeline
+
+    wl = np.arange(2100.0, 2490.0, 7.4)
+    swir = (wl >= 2122) & (wl <= 2488)
+    template = generate_template_from_bands(wl[swir], np.full_like(wl[swir], 8.5))[:, 1]
+    scene = synthetic_scene(np.random.default_rng(31), 37, 29, n_plumes=1,
+                            template=template)
+    cube = np.random.default_rng(32).uniform(
+        1, 8, size=(37, 29, len(wl))
+    ).astype(np.float32)
+    cube[..., swir] = scene["radiance"]
+    cube[36, 28, :] = -9999.0  # the LAST pixel (lives in the padded tail quads)
+    cube[0, 3, 7] = -9999.0
+    path = tmp_path / "EMIT_odd_0.nc"
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset("radiance", data=cube)
+        d.attrs["_FillValue"] = [-9999.0]
+        g = f.create_group("sensor_band_parameters")
+        g.create_dataset("wavelengths", data=wl)
+        g.create_dataset("fwhm", data=np.full_like(wl, 8.5))
+
+    model = SegmentationModel(
+        ["mag1c", "TOA_AVIRIS_640nm", "TOA_AVIRIS_550nm", "TOA_AVIRIS_460nm"],
+        model_type="single",
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 32, 32), jnp.float32))
+    apply_fn = lambda x: model.apply(variables, x, train=False)  # noqa: E731
+
+    res = {}
+    for tag, up in (("f32", None), ("u10", "u10")):
+        pipeline = emit_serving_pipeline(
+            apply_fn, str(tmp_path / tag), column_step=16, num_iter=5,
+            upload_dtype=up,
+        )
+        (r,) = pipeline.run([str(path)])
+        assert r.error is None
+        res[tag] = r.outputs
+
+    mf_f, mf_u = res["f32"]["mag1c"], res["u10"]["mag1c"]
+    assert mf_f.shape == (37, 29) and mf_u.shape == (37, 29)
+    # both invalid pixels carry exact sentinels under both wires
+    for m in (mf_f, mf_u):
+        assert m[36, 28] == -9999.0 and m[0, 3] == -9999.0
+    assert np.array_equal(mf_f == -9999.0, mf_u == -9999.0)
+    valid = mf_f != -9999.0
+    # u10's documented contract class on the valid pixels
+    thr = 500.0
+    assert ((mf_f > thr) == (mf_u > thr))[valid].mean() >= 0.995
+    p_f, p_u = res["f32"]["prediction"], res["u10"]["prediction"]
+    assert p_f.shape == (37, 29)
+    assert np.abs(p_u - p_f).mean() < 5e-3
+
+
 def test_pipeline_u12_odd_band_tail(tmp_path):
     """u12 upload with an ODD selected band count: band pairs pack 2-per-3-
     bytes, and the last unpaired band rides as a separate f32 plane
